@@ -1,0 +1,57 @@
+"""Engine options with environment-variable overrides.
+
+Mirrors the reference's ``parrsb_options`` struct and its ``PARRSB_*``
+env-var override precedence (env wins over caller-supplied values):
+ref /root/reference/src/parRSB.h:21-41 (struct),
+/root/reference/src/parrsb.c:26-44 (defaults),
+/root/reference/src/parrsb.c:48-77 (env overrides).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field, fields
+
+
+@dataclass
+class EngineOptions:
+    # --- partitioner selection (ref parrsb.c:27-31) ---
+    partitioner: str = "rsb"      # rsb | rcb | rib       (ref: 0/1/2)
+    levels: int = 2               # partition hierarchy depth
+    repair: int = 0               # reconnect disconnected halves
+    verbose: int = 1
+
+    # --- RSB core (ref parrsb.c:36-44) ---
+    rsb_algo: str = "lanczos"     # lanczos | inverse (RQI) — lanczos default
+    rsb_pre: int = 1              # 0=sort, 1=RCB, 2=RIB pre-partitioning
+    rsb_max_iter: int = 50        # Lanczos iterations per pass
+    rsb_max_passes: int = 50      # restart passes
+    rsb_tol: float = 1e-5         # convergence tolerance
+    rsb_mg_factor: int = 2        # multigrid coarsening factor (RQI path)
+
+    # --- Spark-specific knobs (no reference analogue) ---
+    shuffle_partitions: int = 32
+    checkpoint_interval: int = 8      # localCheckpoint cadence in iterative loops
+    salt_degree_threshold: int = 100_000  # hub-vertex salting kicks in above this
+    broadcast_threshold_rows: int = 1_000_000
+
+    def __post_init__(self) -> None:
+        self._apply_env()
+
+    def _apply_env(self) -> None:
+        """Env overrides win, matching ref parrsb.c:48-77 precedence."""
+        prefix = "PARRSB_SPARK_"
+        for f in fields(self):
+            key = prefix + f.name.upper()
+            if key in os.environ:
+                raw = os.environ[key]
+                if f.type in ("int", int):
+                    setattr(self, f.name, int(raw))
+                elif f.type in ("float", float):
+                    setattr(self, f.name, float(raw))
+                else:
+                    setattr(self, f.name, raw)
+
+
+def default_options() -> EngineOptions:
+    return EngineOptions()

@@ -1,0 +1,49 @@
+"""Dense global-id assignment (the gencon analogue).
+
+The reference assigns dense, unique, 1-based global ids to fuzzy-matched
+mesh vertices via segmented sort + prefix scan
+(ref /root/reference/src/con-unique-vertices.c:378-443, src/con.c:108-136).
+For a webgraph the match key is exact (canonicalized URL), so the Spark
+form is distinct → rank.
+
+Scale note: a global Window.orderBy is a single-partition sort — fine
+for the final dense numbering of *distinct keys* (distinct first, so
+cardinality is |V|, not |E|), but at 10^12 keys you'd switch to the
+zipWithIndex-style per-partition count + offset fix-up. We implement
+both and pick by size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dense_ids(keys: DataFrame, key_col: str = "url", out_col: str = "vid") -> DataFrame:
+    """(key, vid) with vid dense, unique, 1-based, ordered by key.
+
+    Deterministic (pure function of the key set) — the engine's analogue
+    of the reference's 'dense unique IDs' API contract
+    (/root/reference/README.md:55-58).
+    """
+    w = Window.orderBy(key_col)
+    return keys.select(key_col).distinct().withColumn(out_col, F.row_number().over(w))
+
+
+def dense_ids_scalable(keys: DataFrame, key_col: str = "url", out_col: str = "vid") -> DataFrame:
+    """Same contract, no single-partition sort: sort-partition the distinct
+    keys by range, number within partitions, then add per-partition offsets
+    (the comm_scan analogue, ref /root/reference/src/parrsb.c:108).
+    """
+    distinct = keys.select(key_col).distinct().repartitionByRange(F.col(key_col))
+    with_part = distinct.withColumn("_pid", F.spark_partition_id())
+    w_in = Window.partitionBy("_pid").orderBy(key_col)
+    numbered = with_part.withColumn("_local", F.row_number().over(w_in))
+    # per-partition counts → prefix offsets (tiny: one row per partition)
+    counts = numbered.groupBy("_pid").agg(F.max("_local").alias("_cnt"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn("_off", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)))
+    return (
+        numbered.join(F.broadcast(offsets.select("_pid", "_off")), "_pid")
+        .select(key_col, (F.col("_local") + F.col("_off")).alias(out_col))
+    )

@@ -1,0 +1,29 @@
+from parrsb_spark.operators.pagerank import pagerank
+from parrsb_spark.operators.components import connected_components, cc_bfs_single_seed
+from parrsb_spark.operators.triangles import triangle_counts, triangle_total
+from parrsb_spark.operators.labelprop import label_propagation
+from parrsb_spark.operators.fiedler import fiedler
+from parrsb_spark.operators.rsb import rsb_partition
+from parrsb_spark.operators.rcb import rcb_partition
+from parrsb_spark.operators.rib import rib_partition
+from parrsb_spark.operators.stats import edge_cut, comm_volume, neighbor_census, partition_sizes
+from parrsb_spark.operators.contraction import contract_aliases, dense_renumber
+
+__all__ = [
+    "pagerank",
+    "connected_components",
+    "cc_bfs_single_seed",
+    "triangle_counts",
+    "triangle_total",
+    "label_propagation",
+    "fiedler",
+    "rsb_partition",
+    "rcb_partition",
+    "rib_partition",
+    "edge_cut",
+    "comm_volume",
+    "neighbor_census",
+    "partition_sizes",
+    "contract_aliases",
+    "dense_renumber",
+]

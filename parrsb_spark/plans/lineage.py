@@ -1,0 +1,161 @@
+"""Lineage + checkpoint/resume protocol.
+
+North-rule requirement: intermediate vertex-state is checkpointed with
+per-partition lineage rows (partition id, iteration, residual, row
+counts) so any run resumes mid-iteration. The reference's analogue is
+its per-level metric stack (ref /root/reference/src/metrics.c:10-48)
+and the partition-geometry lineage sink
+(ref /root/reference/src/statistics.c:127-222).
+
+Storage layout (parquet; Iceberg would add atomic commits — the jars
+are not in this container, so the writer is format-pluggable):
+
+    <dir>/lineage/           append-only metric rows
+    <dir>/state/iter=<k>/    full vertex-state snapshot at iteration k
+
+The snapshot write and its lineage row are ordered write-state-then-log,
+so `latest_checkpoint` only trusts iterations whose lineage row exists —
+a crash between the two leaves a resumable previous iteration.
+
+FIXTURES.md §5 schema:
+    run_id, kernel, partition_id, iteration, residual, rows, wall_s
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LINEAGE_SCHEMA = (
+    "run_id string, kernel string, partition_id int, iteration int, "
+    "residual double, rows bigint, wall_s double"
+)
+
+
+class LineageLog:
+    def __init__(self, spark: SparkSession, base_dir: str, run_id: str | None = None):
+        self.spark = spark
+        self.base_dir = base_dir.rstrip("/")
+        self.run_id = run_id or uuid.uuid4().hex[:12]
+        self._t0 = time.monotonic()
+
+    @property
+    def lineage_path(self) -> str:
+        return f"{self.base_dir}/lineage"
+
+    def record(
+        self,
+        kernel: str,
+        iteration: int,
+        partition_id: int = 0,
+        residual: float | None = None,
+        rows: int | None = None,
+    ) -> None:
+        row = [
+            (
+                self.run_id,
+                kernel,
+                int(partition_id),
+                int(iteration),
+                float(residual) if residual is not None else None,
+                int(rows) if rows is not None else None,
+                time.monotonic() - self._t0,
+            )
+        ]
+        self.spark.createDataFrame(row, schema=LINEAGE_SCHEMA).write.mode("append").parquet(
+            self.lineage_path
+        )
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self.lineage_path)
+
+
+def checkpoint_state(
+    state: DataFrame, log: LineageLog, kernel: str, iteration: int, residual: float | None = None
+) -> DataFrame:
+    """Durably snapshot the vertex-state DF and log per-partition lineage
+    rows. Returns the re-read state (lineage truncated to the files)."""
+    path = f"{log.base_dir}/state/{kernel}/iter={iteration}"
+    state.write.mode("overwrite").parquet(path)
+    reread = log.spark.read.parquet(path)
+    per_part = reread.withColumn("_pid", F.spark_partition_id()).groupBy("_pid").count().collect()
+    for r in per_part:
+        log.record(kernel=kernel, iteration=iteration, partition_id=r["_pid"],
+                   residual=residual, rows=r["count"])
+    return reread
+
+
+def latest_checkpoint(
+    spark: SparkSession, base_dir: str, kernel: str
+) -> tuple[int, DataFrame] | None:
+    """(iteration, state) of the newest snapshot that has lineage rows, or
+    None. The resume entry point: kernels continue from iteration+1."""
+    base_dir = base_dir.rstrip("/")
+    try:
+        lin = spark.read.parquet(f"{base_dir}/lineage")
+    except Exception:
+        return None
+    rows = (
+        lin.filter(F.col("kernel") == kernel)
+        .agg(F.max("iteration").alias("m"))
+        .collect()
+    )
+    if not rows or rows[0]["m"] is None:
+        return None
+    it = int(rows[0]["m"])
+    state = spark.read.parquet(f"{base_dir}/state/{kernel}/iter={it}")
+    return it, state
+
+
+def pagerank_resumable(
+    spark: SparkSession,
+    edges: DataFrame,
+    ckpt_dir: str,
+    total_iters: int,
+    damping: float = 0.85,
+    snapshot_every: int = 2,
+) -> DataFrame:
+    """PageRank with durable checkpoint/resume: picks up mid-run from the
+    newest snapshot; an interrupted run then a resumed run produce exactly
+    the uninterrupted result (tested in tests/test_lineage.py)."""
+    from parrsb_spark.sources.edges import vertices_from_edges
+
+    log = LineageLog(spark, ckpt_dir)
+    e = edges.select("src", "dst").cache()
+    verts = vertices_from_edges(e)
+    outdeg = e.groupBy(F.col("src").alias("vid")).agg(F.count("*").alias("outdeg"))
+    state0 = verts.join(outdeg, "vid", "left").select(
+        "vid", F.coalesce("outdeg", F.lit(0)).alias("outdeg")
+    )
+    n = state0.count()
+    resume = latest_checkpoint(spark, ckpt_dir, "pagerank")
+    if resume is not None:
+        start_iter, ranks = resume
+        start_iter += 1
+    else:
+        start_iter = 0
+        ranks = state0.withColumn("pr", F.lit(1.0 / n))
+    for it in range(start_iter, total_iters):
+        dangling = ranks.filter(F.col("outdeg") == 0).agg(F.sum("pr")).collect()[0][0] or 0.0
+        contribs = (
+            e.join(
+                ranks.filter(F.col("outdeg") > 0).select(
+                    F.col("vid").alias("src"), (F.col("pr") / F.col("outdeg")).alias("c")
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("vid"))
+            .agg(F.sum("c").alias("g"))
+        )
+        base = (1.0 - damping) / n + damping * dangling / n
+        ranks = ranks.join(contribs, "vid", "left").select(
+            "vid", "outdeg", (F.lit(base) + damping * F.coalesce("g", F.lit(0.0))).alias("pr")
+        )
+        if (it + 1) % snapshot_every == 0 or it == total_iters - 1:
+            ranks = checkpoint_state(ranks, log, "pagerank", it)
+        else:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select("vid", "pr")

@@ -1,0 +1,50 @@
+"""SparkSession factory tuned for iterative link-graph workloads.
+
+Design notes for scale (the 1000-executor / 100 TB target):
+- AQE on: runtime shuffle-partition coalescing + skew-join splitting is
+  what replaces the reference's hand-rolled histogram/hypercube range
+  partitioning (ref /root/reference/src/sort-bin.c, src/sort-hypercube.c).
+- Arrow on: every Python-side kernel is an Arrow-batched pandas UDF; no
+  row-at-a-time Python anywhere.
+- UTC session TZ pinned so results compare bit-stably against the
+  DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    master: str | None = None,
+    app_name: str = "parrsb_spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    if shuffle_partitions is None:
+        # local[N] → N-ish shuffle partitions; a real cluster would use
+        # 2-3× total cores and let AQE coalesce.
+        n = master[master.find("[") + 1 : master.find("]")] if "[" in master else "32"
+        shuffle_partitions = 32 if n == "*" else max(4, int(n))
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
