@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``: flagship query on /root/testdata/sf0.001 — the full
+  link-graph pipeline: derive the edge DataFrame, PageRank it, and join
+  partition ids from one RSB cut (SURVEY.md §7 M1 flagship).
+- ``queries()``: one entry per implemented operator (SURVEY.md §2),
+  (spark, sf_dir) → DataFrame.
+- ``oracle_sql()``: DuckDB-runnable ANSI SQL producing identical values
+  (column names and rounding matched). Iterative-eigensolver queries
+  (graph_fiedler, graph_rsb_parts) are intentionally omitted — they are
+  not SQL-expressible; pytest verifies them against numpy oracles
+  (tests/test_spectral.py).
 """
 
 from __future__ import annotations
@@ -12,27 +17,30 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parrsb_spark import entry_queries as EQ
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: PageRank + one RSB cut over the derived webgraph at sf0.001."""
+    sf_dir = "/root/testdata/sf0.001"
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    edges = EQ.bipartite_edges(spark, sf_dir)
+
+    from parrsb_spark.config import EngineOptions
+    from parrsb_spark.operators.pagerank import pagerank
+    from parrsb_spark.operators.rsb import rsb_partition
+
+    pr = pagerank(edges, fixed_iters=8)
+    opts = EngineOptions(rsb_max_iter=20, rsb_max_passes=2, rsb_tol=1e-5)
+    parts = rsb_partition(edges, 2, opts=opts)
+    return pr.join(parts, "vid").select("vid", F.round("pr", 10).alias("pr"), "part")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return EQ.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return EQ.oracle_sql()

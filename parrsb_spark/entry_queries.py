@@ -1,0 +1,733 @@
+"""Driver-contract query registry: Spark queries + DuckDB oracle SQL.
+
+Every operator from SURVEY.md §2 that is SQL-expressible gets BOTH a
+Spark callable (spark, sf_dir) → DataFrame and an ANSI-SQL string that
+DuckDB runs on the same parquet tables. Column names and float rounding
+match exactly on both sides (the driver value-hashes sorted columns).
+
+Graph queries derive a deterministic graph from the TPC-H-ish tables:
+- bipartite customer→supplier edges via orders ⨝ lineitem
+  (src = o_custkey, dst = 100000 + l_suppkey)
+- co-purchase part graph (parts sharing an order) for triangle-bearing
+  kernels.
+Iterative kernels (PageRank / CC / label propagation) get *unrolled*
+iteration CTEs in SQL — identical fixed-point semantics, fixed K.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from parrsb_spark.functions.hashing import (
+    HASH_SALT_A,
+    HASH_SALT_B,
+    MOD_P,
+    MOD_X,
+)
+
+DAMPING = 0.85
+PR_ITERS = 8
+CC_ITERS = 16
+LP_ITERS = 3
+
+# ---------------------------------------------------------------------------
+# shared derivations
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def bipartite_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _load(spark, sf_dir, "orders")
+    l = _load(spark, sf_dir, "lineitem")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(F.col("o_custkey").alias("src"), (F.lit(100000) + F.col("l_suppkey")).alias("dst"))
+        .distinct()
+    )
+
+
+EDGES_SQL = (
+    "SELECT DISTINCT o_orderkey, o_custkey AS src, 100000 + l_suppkey AS dst "
+    "FROM orders JOIN lineitem ON o_orderkey = l_orderkey"
+)
+EG_CTE = (
+    "eg AS MATERIALIZED (SELECT DISTINCT o_custkey AS src, 100000 + l_suppkey AS dst "
+    "FROM orders JOIN lineitem ON o_orderkey = l_orderkey)"
+)
+VERTS_CTE = "verts AS MATERIALIZED (SELECT src AS vid FROM eg UNION SELECT dst FROM eg)"
+SYM_CTE = "sym AS MATERIALIZED (SELECT src, dst FROM eg UNION SELECT dst AS src, src AS dst FROM eg)"
+
+
+def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = l.withColumnRenamed("l_partkey", "src")
+    b = l.withColumnRenamed("l_partkey", "dst")
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+
+
+CP_CTE = (
+    "cp AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst "
+    "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey "
+    "AND a.l_partkey < b.l_partkey)"
+)
+CP_SYM_CTE = "cpsym AS MATERIALIZED (SELECT src, dst FROM cp UNION SELECT dst, src FROM cp)"
+CP_VERTS_CTE = "cpverts AS MATERIALIZED (SELECT src AS vid FROM cp UNION SELECT dst FROM cp)"
+
+
+# ---------------------------------------------------------------------------
+# graph queries
+
+
+def q_graph_edges(spark, sf_dir):
+    return bipartite_edges(spark, sf_dir)
+
+
+def sql_graph_edges():
+    return f"WITH {EG_CTE} SELECT src, dst FROM eg"
+
+
+def q_graph_degree(spark, sf_dir):
+    from parrsb_spark.functions.spmv import degrees
+
+    return degrees(bipartite_edges(spark, sf_dir)).select("vid", "deg")
+
+
+def sql_graph_degree():
+    return (
+        f"WITH {EG_CTE}, {SYM_CTE} "
+        "SELECT src AS vid, count(*) AS deg FROM (SELECT DISTINCT src, dst FROM sym WHERE src <> dst) GROUP BY src"
+    )
+
+
+def q_graph_pagerank(spark, sf_dir):
+    from parrsb_spark.operators.pagerank import pagerank
+
+    e = bipartite_edges(spark, sf_dir)
+    pr = pagerank(e, damping=DAMPING, fixed_iters=PR_ITERS)
+    return pr.select("vid", F.round("pr", 10).alias("pr_r"))
+
+
+def sql_graph_pagerank(iters: int = PR_ITERS) -> str:
+    d = DAMPING
+    parts = [
+        EG_CTE,
+        VERTS_CTE,
+        "n AS (SELECT CAST(count(*) AS DOUBLE) AS cnt FROM verts)",
+        "outdeg AS (SELECT src AS vid, CAST(count(*) AS DOUBLE) AS od FROM eg GROUP BY src)",
+        "pr0 AS (SELECT vid, 1.0/(SELECT cnt FROM n) AS pr FROM verts)",
+    ]
+    for k in range(1, iters + 1):
+        p = f"pr{k - 1}"
+        parts.append(
+            f"pr{k} AS MATERIALIZED (SELECT v.vid, "
+            f"( {1 - d} + {d} * (SELECT coalesce(sum(p.pr), 0) FROM {p} p "
+            f"LEFT JOIN outdeg o ON p.vid = o.vid WHERE o.vid IS NULL) ) / (SELECT cnt FROM n) "
+            f"+ {d} * coalesce(g.gath, 0) AS pr "
+            f"FROM verts v LEFT JOIN ("
+            f"SELECT e.dst AS vid, sum(p.pr / o.od) AS gath "
+            f"FROM eg e JOIN {p} p ON e.src = p.vid JOIN outdeg o ON e.src = o.vid "
+            f"GROUP BY e.dst) g ON v.vid = g.vid)"
+        )
+    return (
+        "WITH " + ", ".join(parts) + f" SELECT vid, round(pr, 10) AS pr_r FROM pr{iters}"
+    )
+
+
+def q_graph_cc(spark, sf_dir):
+    from parrsb_spark.operators.components import connected_components
+
+    return connected_components(bipartite_edges(spark, sf_dir)).select("vid", "comp")
+
+
+def sql_graph_cc(iters: int = CC_ITERS) -> str:
+    parts = [EG_CTE, VERTS_CTE, SYM_CTE, "l0 AS (SELECT vid, vid AS comp FROM verts)"]
+    for k in range(1, iters + 1):
+        p = f"l{k - 1}"
+        parts.append(
+            f"l{k} AS MATERIALIZED (SELECT v.vid, least(v.comp, coalesce(m.mn, v.comp)) AS comp "
+            f"FROM {p} v LEFT JOIN (SELECT s.dst AS vid, min(l.comp) AS mn "
+            f"FROM sym s JOIN {p} l ON s.src = l.vid GROUP BY s.dst) m ON v.vid = m.vid)"
+        )
+    return "WITH " + ", ".join(parts) + f" SELECT vid, comp FROM l{iters}"
+
+
+def q_graph_labelprop(spark, sf_dir):
+    from parrsb_spark.operators.labelprop import label_propagation
+
+    return label_propagation(copurchase_edges(spark, sf_dir), n_iter=LP_ITERS).select(
+        "vid", "label"
+    )
+
+
+def sql_graph_labelprop(iters: int = LP_ITERS) -> str:
+    parts = [CP_CTE, CP_VERTS_CTE, CP_SYM_CTE, "lp0 AS (SELECT vid, vid AS label FROM cpverts)"]
+    for k in range(1, iters + 1):
+        p = f"lp{k - 1}"
+        parts.append(
+            f"lp{k} AS MATERIALIZED (SELECT v.vid, coalesce(pick.new_label, v.label) AS label FROM {p} v "
+            f"LEFT JOIN (SELECT vid, label AS new_label FROM ("
+            f"SELECT t.vid, t.label, row_number() OVER (PARTITION BY t.vid ORDER BY t.cnt DESC, t.label ASC) AS rn "
+            f"FROM (SELECT s.dst AS vid, l.label, count(*) AS cnt "
+            f"FROM cpsym s JOIN {p} l ON s.src = l.vid GROUP BY s.dst, l.label) t) z "
+            f"WHERE rn = 1) pick ON v.vid = pick.vid)"
+        )
+    return "WITH " + ", ".join(parts) + f" SELECT vid, label FROM lp{iters}"
+
+
+def q_graph_triangles(spark, sf_dir):
+    from parrsb_spark.operators.triangles import triangle_counts
+
+    return triangle_counts(copurchase_edges(spark, sf_dir)).select("vid", "tri")
+
+
+def sql_graph_triangles():
+    return (
+        f"WITH {CP_CTE}, {CP_VERTS_CTE}, "
+        "tri AS (SELECT e1.src AS u, e1.dst AS v, e2.dst AS w "
+        "FROM cp e1 JOIN cp e2 ON e1.src = e2.src AND e1.dst < e2.dst "
+        "JOIN cp e3 ON e3.src = e1.dst AND e3.dst = e2.dst), "
+        "x AS (SELECT u AS vid FROM tri UNION ALL SELECT v FROM tri UNION ALL SELECT w FROM tri), "
+        "cnts AS (SELECT vid, count(*) AS tri FROM x GROUP BY vid) "
+        "SELECT cv.vid, coalesce(c.tri, 0) AS tri FROM cpverts cv LEFT JOIN cnts c ON cv.vid = c.vid"
+    )
+
+
+def q_graph_mirror_pairs(spark, sf_dir):
+    from parrsb_spark.operators.checks import mirror_pairs
+
+    return mirror_pairs(copurchase_edges(spark, sf_dir), min_shared=3).select("u", "v", "shared")
+
+
+def sql_graph_mirror_pairs():
+    return (
+        f"WITH {CP_CTE}, {CP_SYM_CTE} "
+        "SELECT a.dst AS u, b.dst AS v, count(*) AS shared "
+        "FROM cpsym a JOIN cpsym b ON a.src = b.src AND a.dst < b.dst "
+        "GROUP BY a.dst, b.dst HAVING count(*) >= 3"
+    )
+
+
+# rows-only queries (non-SQL-expressible: iterative eigensolver)
+
+
+def q_graph_fiedler(spark, sf_dir):
+    from parrsb_spark.operators.fiedler import fiedler
+    from parrsb_spark.config import EngineOptions
+
+    e = bipartite_edges(spark, sf_dir)
+    opts = EngineOptions(rsb_max_iter=30, rsb_max_passes=2, rsb_tol=1e-6)
+    return fiedler(e, opts=opts).select("vid", "fiedler")
+
+
+def q_graph_rsb_parts(spark, sf_dir):
+    from parrsb_spark.operators.rsb import rsb_partition
+    from parrsb_spark.config import EngineOptions
+
+    e = bipartite_edges(spark, sf_dir)
+    opts = EngineOptions(rsb_max_iter=25, rsb_max_passes=2, rsb_tol=1e-5)
+    return rsb_partition(e, 4, opts=opts).select("vid", "part")
+
+
+# ---------------------------------------------------------------------------
+# relational coverage (scan/filter/join/agg/window/rollup/top-k/as-of)
+
+
+def q_pricing_summary(spark, sf_dir):
+    l = _load(spark, sf_dir, "lineitem")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def sql_pricing_summary():
+    return (
+        "SELECT l_returnflag, l_linestatus, "
+        "round(sum(l_quantity), 4) AS sum_qty, "
+        "round(sum(l_extendedprice), 4) AS sum_base_price, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price, "
+        "round(avg(l_quantity), 6) AS avg_qty, "
+        "count(*) AS count_order "
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+        "GROUP BY l_returnflag, l_linestatus"
+    )
+
+
+def q_top_revenue_orders(spark, sf_dir):
+    o = _load(spark, sf_dir, "orders")
+    l = _load(spark, sf_dir, "lineitem")
+    c = _load(spark, sf_dir, "customer")
+    rev = (
+        l.groupBy("l_orderkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+    )
+    joined = o.join(rev, o.o_orderkey == rev.l_orderkey).join(
+        F.broadcast(c), o.o_custkey == c.c_custkey
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+    return (
+        joined.select("o_orderkey", "c_name", "revenue")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+    )
+
+
+def sql_top_revenue_orders():
+    return (
+        "WITH rev AS (SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue "
+        "FROM lineitem GROUP BY l_orderkey) "
+        "SELECT o_orderkey, c_name, revenue, rk FROM ("
+        "SELECT o.o_orderkey, c.c_name, r.revenue, "
+        "row_number() OVER (ORDER BY r.revenue DESC, o.o_orderkey ASC) AS rk "
+        "FROM orders o JOIN rev r ON o.o_orderkey = r.l_orderkey "
+        "JOIN customer c ON o.o_custkey = c.c_custkey) WHERE rk <= 10"
+    )
+
+
+def q_nation_rollup(spark, sf_dir):
+    c = _load(spark, sf_dir, "customer")
+    n = _load(spark, sf_dir, "nation")
+    r = _load(spark, sf_dir, "region")
+    j = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return j.rollup("r_name", "n_name").agg(
+        F.count("*").alias("n_cust"), F.round(F.sum("c_acctbal"), 4).alias("sum_bal")
+    )
+
+
+def sql_nation_rollup():
+    return (
+        "SELECT r_name, n_name, count(*) AS n_cust, round(sum(c_acctbal), 4) AS sum_bal "
+        "FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey "
+        "JOIN region r ON n.n_regionkey = r.r_regionkey "
+        "GROUP BY ROLLUP (r_name, n_name)"
+    )
+
+
+def q_topk_parts_per_brand(spark, sf_dir):
+    p = _load(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        p.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice", "rk")
+    )
+
+
+def sql_topk_parts_per_brand():
+    return (
+        "SELECT p_brand, p_partkey, p_retailprice, rk FROM ("
+        "SELECT p_brand, p_partkey, p_retailprice, "
+        "row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC) AS rk "
+        "FROM part) WHERE rk <= 3"
+    )
+
+
+def q_events_window_agg(spark, sf_dir):
+    ev = _load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("window_start"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+def sql_events_window_agg():
+    return (
+        "SELECT date_trunc('hour', ts) AS window_start, event_type, "
+        "count(*) AS n_events, round(sum(value), 6) AS sum_value, "
+        "count(DISTINCT user_id) AS n_users FROM events GROUP BY 1, 2"
+    )
+
+
+def q_events_sessionize(spark, sf_dir):
+    from parrsb_spark.streaming.events import sessionize_batch
+
+    return sessionize_batch(_load(spark, sf_dir, "events"), gap_minutes=30)
+
+
+def sql_events_sessionize():
+    return (
+        "WITH marked AS (SELECT user_id, event_id, ts, "
+        "CASE WHEN lag(ts) OVER w IS NULL "
+        "OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_session "
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+        "sess AS (SELECT user_id, sum(new_session) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id "
+        "FROM marked), "
+        "per AS (SELECT user_id, session_id, count(*) AS n FROM sess GROUP BY 1, 2) "
+        "SELECT user_id, count(*) AS n_sessions, max(n) AS max_session_events "
+        "FROM per GROUP BY user_id"
+    )
+
+
+def q_events_asof_last_click(spark, sf_dir):
+    """For every 'purchase' event: ts of the user's most recent 'click' ≤ ts.
+    The as-of join, expressed as a carry-forward window (Spark lacks a
+    native as-of join; this form scales as one sort per user)."""
+    ev = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    carried = ev.withColumn(
+        "last_click_ts",
+        F.last(F.when(F.col("event_type") == "click", F.col("ts")), ignorenulls=True).over(w),
+    )
+    return carried.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "last_click_ts"
+    )
+
+
+def sql_events_asof_last_click():
+    return (
+        "SELECT event_id, user_id, ts, last_click_ts FROM ("
+        "SELECT event_id, user_id, ts, event_type, "
+        "max(CASE WHEN event_type = 'click' THEN ts END) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS last_click_ts "
+        "FROM events) WHERE event_type = 'purchase'"
+    )
+
+
+# ---------------------------------------------------------------------------
+# documents / text-pipeline queries
+
+
+def q_docs_token_count(spark, sf_dir):
+    from parrsb_spark.operators.textops import token_count
+
+    return token_count(_load(spark, sf_dir, "documents"))
+
+
+def sql_docs_token_count():
+    return (
+        "SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 ELSE "
+        "len(string_split_regex(trim(text), '\\s+')) END AS n_tokens FROM documents"
+    )
+
+
+def q_docs_lang_id(spark, sf_dir):
+    from parrsb_spark.operators.textops import lang_id
+
+    return lang_id(_load(spark, sf_dir, "documents"))
+
+
+def sql_docs_lang_id():
+    from parrsb_spark.operators.textops import STOPWORDS
+
+    vals = ", ".join(f"('{l}', '{w}')" for l, ws in STOPWORDS.items() for w in ws)
+    return (
+        f"WITH sw(sw_lang, word) AS (SELECT * FROM (VALUES {vals})), "
+        "toks AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word "
+        "FROM documents WHERE trim(text) <> ''), "
+        "hits AS (SELECT t.doc_id, s.sw_lang, count(*) AS hits FROM toks t JOIN sw s USING (word) "
+        "GROUP BY 1, 2), "
+        "best AS (SELECT doc_id, sw_lang FROM (SELECT doc_id, sw_lang, "
+        "row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, sw_lang ASC) AS rn FROM hits) "
+        "WHERE rn = 1) "
+        "SELECT d.doc_id, coalesce(b.sw_lang, 'unknown') AS pred_lang "
+        "FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id"
+    )
+
+
+def q_docs_quality(spark, sf_dir):
+    from parrsb_spark.operators.textops import quality_score
+
+    return quality_score(_load(spark, sf_dir, "documents"))
+
+
+def sql_docs_quality():
+    return (
+        "WITH base AS (SELECT doc_id, text, length(text) AS n_chars_m, "
+        "CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens, "
+        "CASE WHEN length(text) > 0 THEN "
+        "CAST(length(text) - length(regexp_replace(text, '[^0-9A-Za-z\\s]', '', 'g')) AS DOUBLE) / length(text) "
+        "ELSE 0.0 END AS punct_ratio, "
+        "CASE WHEN trim(text) = '' THEN 0.0 ELSE "
+        "CAST(list_sum(list_transform(string_split_regex(trim(text), '\\s+'), x -> length(x))) AS DOUBLE) "
+        "/ len(string_split_regex(trim(text), '\\s+')) END AS avg_word_len "
+        "FROM documents) "
+        "SELECT doc_id, n_chars_m, n_tokens, round(punct_ratio, 6) AS punct_ratio, "
+        "round(avg_word_len, 6) AS avg_word_len, "
+        "round(0.4 * least(n_tokens / 50.0, 1.0) + 0.3 * (1.0 - punct_ratio) "
+        "+ 0.3 * least(avg_word_len / 8.0, 1.0), 6) AS score FROM base"
+    )
+
+
+def q_docs_exact_dedup(spark, sf_dir):
+    from parrsb_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_load(spark, sf_dir, "documents"))
+
+
+def sql_docs_exact_dedup():
+    return (
+        "WITH keyed AS (SELECT doc_id, md5(text) AS digest FROM documents), "
+        "canon AS (SELECT digest, min(doc_id) AS canonical_id FROM keyed GROUP BY digest) "
+        "SELECT k.doc_id, c.canonical_id, k.doc_id <> c.canonical_id AS is_dup "
+        "FROM keyed k JOIN canon c ON k.digest = c.digest"
+    )
+
+
+def q_docs_fingerprint_bag(spark, sf_dir):
+    from parrsb_spark.operators.textops import fingerprint_bag
+
+    return fingerprint_bag(_load(spark, sf_dir, "documents"))
+
+
+def sql_docs_fingerprint_bag():
+    return (
+        "WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word "
+        "FROM documents WHERE trim(text) <> '') "
+        f"SELECT doc_id, sum(('0x' || substr(md5(word), 1, 15))::BIGINT % {MOD_P}) % {MOD_P} AS fp "
+        "FROM toks GROUP BY doc_id"
+    )
+
+
+def q_docs_fingerprint_rolling(spark, sf_dir):
+    from parrsb_spark.operators.textops import fingerprint_rolling
+
+    return fingerprint_rolling(
+        _load(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    )
+
+
+def sql_docs_fingerprint_rolling():
+    from parrsb_spark.operators.textops import ROLLING_BASE
+
+    return (
+        "SELECT doc_id, list_reduce("
+        "list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(string_split_regex(trim(text), '\\s+'), "
+        f"x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % {MOD_P})), "
+        f"(acc, x) -> (acc * {ROLLING_BASE} % {MOD_P} + x) % {MOD_P}) AS fp "
+        "FROM documents WHERE trim(text) <> ''"
+    )
+
+
+def q_docs_minhash(spark, sf_dir):
+    from parrsb_spark.operators.dedup import minhash_signatures
+
+    return minhash_signatures(_load(spark, sf_dir, "documents"), k=8)
+
+
+def sql_docs_minhash(k: int = 8):
+    mins = ", ".join(
+        f"min((th * {HASH_SALT_A[i]} + {HASH_SALT_B[i]}) % {MOD_P}) AS h{i}" for i in range(k)
+    )
+    return (
+        "WITH sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, greatest(length(text) - 2, 0) + 1), g -> substr(text, g, 3))) AS sh FROM documents), "
+        f"hashed AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT % {MOD_X} AS th FROM sh) "
+        f"SELECT doc_id, {mins} FROM hashed GROUP BY doc_id"
+    )
+
+
+def q_docs_ngram_jaccard(spark, sf_dir):
+    from parrsb_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_load(spark, sf_dir, "documents"), threshold=0.6)
+
+
+def sql_docs_ngram_jaccard(threshold: float = 0.6):
+    return (
+        "WITH sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, greatest(length(text) - 2, 0) + 1), g -> substr(text, g, 3))) AS sh FROM documents), "
+        "sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), "
+        "common AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS common "
+        "FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+        "SELECT c.a, c.b, round(CAST(c.common AS DOUBLE) / (sa.sz + sb.sz - c.common), 6) AS jaccard "
+        "FROM common c JOIN sizes sa ON c.a = sa.doc_id JOIN sizes sb ON c.b = sb.doc_id "
+        f"WHERE CAST(c.common AS DOUBLE) / (sa.sz + sb.sz - c.common) >= {threshold}"
+    )
+
+
+def q_docs_simhash(spark, sf_dir):
+    from parrsb_spark.operators.dedup import simhash
+
+    return simhash(_load(spark, sf_dir, "documents").filter(F.trim("text") != ""))
+
+
+def sql_docs_simhash(bits: int = 32):
+    return (
+        "WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word "
+        "FROM documents WHERE trim(text) <> ''), "
+        "wcnt AS (SELECT doc_id, word, count(*) AS cnt FROM toks GROUP BY 1, 2), "
+        "hashed AS (SELECT doc_id, ('0x' || substr(md5(word), 1, 15))::BIGINT AS th, cnt FROM wcnt), "
+        f"bitsx AS (SELECT doc_id, th, cnt, unnest(range(0, {bits})) AS bit FROM hashed), "
+        "votes AS (SELECT doc_id, bit, sum(CASE WHEN (th >> bit) & 1 = 1 THEN cnt ELSE -cnt END) AS v "
+        "FROM bitsx GROUP BY 1, 2) "
+        "SELECT doc_id, sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS simhash "
+        "FROM votes GROUP BY doc_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# embeddings
+
+
+def q_emb_cosine_topk(spark, sf_dir):
+    from parrsb_spark.operators.similarity import cosine_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"), "embedding")
+    return cosine_topk(emb, q, k=5).select("q_id", "vec_id", "cos", "rank")
+
+
+def sql_emb_cosine_topk(k: int = 5):
+    return (
+        "WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+        "q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5), "
+        "scored AS (SELECT q.q_id, c.vec_id, "
+        "round(list_dot_product(c.v, q.qv) / "
+        "(sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.qv, q.qv))), 9) AS cos "
+        "FROM c CROSS JOIN q) "
+        "SELECT q_id, vec_id, cos, rank FROM (SELECT q_id, vec_id, cos, "
+        "row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank FROM scored) "
+        f"WHERE rank <= {k}"
+    )
+
+
+def q_emb_neardup(spark, sf_dir):
+    from parrsb_spark.operators.dedup import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(_load(spark, sf_dir, "embeddings"), threshold=0.9)
+
+
+def sql_emb_neardup(threshold: float = 0.9):
+    return (
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) "
+        "SELECT a.vec_id AS a, b.vec_id AS b, "
+        "round(list_dot_product(a.v, b.v) / "
+        "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos "
+        "FROM e a JOIN e b ON a.vec_id < b.vec_id "
+        "WHERE list_dot_product(a.v, b.v) / "
+        f"(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= {threshold}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal (md5-based fake decode so the oracle can replay it)
+
+
+def q_mm_image_meta(spark, sf_dir):
+    """Binary-column plumbing: payload = utf-8 bytes of text; metadata via
+    mapInPandas (schema/batching real, codec stubbed — multimodal.py)."""
+    from parrsb_spark.operators.multimodal import media_from_documents
+    import pandas as pd
+    from collections.abc import Iterator
+    import hashlib as _hl
+
+    media = media_from_documents(_load(spark, sf_dir, "documents"))
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                dig = _hl.md5(b).hexdigest()
+                h = int(dig[:8], 16)
+                outs.append((mid, len(b), dig, 16 + h % 1024, 16 + (h >> 10) % 1024))
+            yield pd.DataFrame(
+                outs, columns=["media_id", "n_bytes", "md5", "width", "height"]
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        op, schema="media_id bigint, n_bytes int, md5 string, width int, height int"
+    )
+
+
+def sql_mm_image_meta():
+    return (
+        "SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes, md5(text) AS md5, "
+        "16 + ('0x' || substr(md5(text), 1, 8))::BIGINT % 1024 AS width, "
+        "16 + (('0x' || substr(md5(text), 1, 8))::BIGINT >> 10) % 1024 AS height "
+        "FROM documents WHERE doc_id % 3 = 0"
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "graph_edges": q_graph_edges,
+        "graph_degree": q_graph_degree,
+        "graph_pagerank": q_graph_pagerank,
+        "graph_cc": q_graph_cc,
+        "graph_labelprop": q_graph_labelprop,
+        "graph_triangles": q_graph_triangles,
+        "graph_mirror_pairs": q_graph_mirror_pairs,
+        "graph_fiedler": q_graph_fiedler,
+        "graph_rsb_parts": q_graph_rsb_parts,
+        "pricing_summary": q_pricing_summary,
+        "top_revenue_orders": q_top_revenue_orders,
+        "nation_rollup": q_nation_rollup,
+        "topk_parts_per_brand": q_topk_parts_per_brand,
+        "events_window_agg": q_events_window_agg,
+        "events_sessionize": q_events_sessionize,
+        "events_asof_last_click": q_events_asof_last_click,
+        "docs_token_count": q_docs_token_count,
+        "docs_lang_id": q_docs_lang_id,
+        "docs_quality": q_docs_quality,
+        "docs_exact_dedup": q_docs_exact_dedup,
+        "docs_fingerprint_bag": q_docs_fingerprint_bag,
+        "docs_fingerprint_rolling": q_docs_fingerprint_rolling,
+        "docs_minhash": q_docs_minhash,
+        "docs_ngram_jaccard": q_docs_ngram_jaccard,
+        "docs_simhash": q_docs_simhash,
+        "emb_cosine_topk": q_emb_cosine_topk,
+        "emb_neardup": q_emb_neardup,
+        "mm_image_meta": q_mm_image_meta,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "graph_edges": sql_graph_edges(),
+        "graph_degree": sql_graph_degree(),
+        "graph_pagerank": sql_graph_pagerank(),
+        "graph_cc": sql_graph_cc(),
+        "graph_labelprop": sql_graph_labelprop(),
+        "graph_triangles": sql_graph_triangles(),
+        "graph_mirror_pairs": sql_graph_mirror_pairs(),
+        # graph_fiedler / graph_rsb_parts: iterative eigensolver — rows-only
+        "pricing_summary": sql_pricing_summary(),
+        "top_revenue_orders": sql_top_revenue_orders(),
+        "nation_rollup": sql_nation_rollup(),
+        "topk_parts_per_brand": sql_topk_parts_per_brand(),
+        "events_window_agg": sql_events_window_agg(),
+        "events_sessionize": sql_events_sessionize(),
+        "events_asof_last_click": sql_events_asof_last_click(),
+        "docs_token_count": sql_docs_token_count(),
+        "docs_lang_id": sql_docs_lang_id(),
+        "docs_quality": sql_docs_quality(),
+        "docs_exact_dedup": sql_docs_exact_dedup(),
+        "docs_fingerprint_bag": sql_docs_fingerprint_bag(),
+        "docs_fingerprint_rolling": sql_docs_fingerprint_rolling(),
+        "docs_minhash": sql_docs_minhash(),
+        "docs_ngram_jaccard": sql_docs_ngram_jaccard(),
+        "docs_simhash": sql_docs_simhash(),
+        "emb_cosine_topk": sql_emb_cosine_topk(),
+        "emb_neardup": sql_emb_neardup(),
+        "mm_image_meta": sql_mm_image_meta(),
+    }

@@ -39,15 +39,15 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
 def shingles(docs: DataFrame, n: int = NGRAM) -> DataFrame:
     """(doc_id, sh) — distinct character n-grams (JVM-side sequence+substring,
     no Python)."""
-    idxs = F.sequence(F.lit(1), F.greatest(F.length("text") - (n - 1), F.lit(0)))
-    return (
-        docs.select("doc_id", F.explode(F.transform(idxs, lambda i: F.substring_index(F.substring(F.col("text"), 1, 0), "", 0))).alias("_"))
-        if False
-        else docs.select(
-            "doc_id",
-            F.explode(F.transform(idxs, lambda i: F.col("text").substr(i, F.lit(n)))).alias("sh"),
-        ).distinct()
-    )
+    # guard: Spark's sequence(1, 0) counts DOWN ([1, 0]); emit an empty
+    # array for texts shorter than n instead
+    idxs = F.when(
+        F.length("text") >= n, F.sequence(F.lit(1), F.length("text") - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return docs.select(
+        "doc_id",
+        F.explode(F.transform(idxs, lambda i: F.col("text").substr(i, F.lit(n)))).alias("sh"),
+    ).distinct()
 
 
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8, n: int = NGRAM) -> DataFrame:
@@ -154,13 +154,11 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     )
     votes = bits_df.withColumn(
         "vote",
-        F.when(F.shiftright(F.col("th"), F.col("bit")).bitwiseAND(F.lit(1)) == 1, F.col("cnt")).otherwise(
-            -F.col("cnt")
-        ),
+        F.when(F.expr("(th >> bit) & 1") == 1, F.col("cnt")).otherwise(-F.col("cnt")),
     )
     per_bit = votes.groupBy("doc_id", "bit").agg(F.sum("vote").alias("v"))
     packed = per_bit.withColumn(
-        "bitval", F.when(F.col("v") > 0, F.shiftleft(F.lit(1).cast("bigint"), F.col("bit"))).otherwise(0)
+        "bitval", F.when(F.col("v") > 0, F.expr("CAST(1 AS BIGINT) << bit")).otherwise(F.lit(0))
     )
     return packed.groupBy("doc_id").agg(F.sum("bitval").alias("simhash"))
 

@@ -12,8 +12,8 @@ Scale design:
   cached; the per-iteration join then only exchanges the (small) state.
 - dangling mass + L1 delta come back as ONE driver scalar per iteration
   (the comm_allreduce analogue, ref /root/reference/src/fiedler.c:13-18).
-- localCheckpoint every `checkpoint_interval` iterations truncates the
-  logical plan (mandatory in iterative Spark, SURVEY.md §7).
+- eager localCheckpoint every iteration truncates the logical plan
+  (mandatory in iterative Spark, SURVEY.md §7).
 - hub skew: AQE skew-join splits oversized src partitions; the groupBy
   is already map-side combined.
 """
@@ -32,7 +32,6 @@ def pagerank(
     max_iter: int = 40,
     tol: float = 1e-8,
     fixed_iters: int | None = None,
-    checkpoint_interval: int = 8,
     vertices: DataFrame | None = None,
 ) -> DataFrame:
     """Returns (vid, pr). `fixed_iters` runs exactly that many iterations
@@ -82,14 +81,15 @@ def pagerank(
                 F.col("pr").alias("_old"),
             )
         )
+        # eager per-iteration checkpoint in BOTH modes: the next iteration's
+        # dangling-mass collect would otherwise recompute the whole uncached
+        # lineage (O(iters²) total work) and the plan tree would keep growing
+        new_ranks = new_ranks.localCheckpoint(eager=True)
         if fixed_iters is None:
-            new_ranks = new_ranks.localCheckpoint(eager=True)
             delta = new_ranks.agg(F.sum(F.abs(F.col("pr") - F.col("_old")))).collect()[0][0]
             ranks = new_ranks.drop("_old")
             if delta is not None and delta < tol:
                 break
         else:
             ranks = new_ranks.drop("_old")
-            if (it + 1) % checkpoint_interval == 0:
-                ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("vid", "pr")

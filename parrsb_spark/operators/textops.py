@@ -24,9 +24,11 @@ STOPWORDS = {
 ROLLING_BASE = 1_000_003  # polynomial base for the rolling fingerprint
 
 
-def tokens_col(text=F.col("text")):
+def tokens_col(text=None):
     """Whitespace tokenization, empty-safe (same rule as the SQL oracle:
     trim then split on one-or-more spaces)."""
+    if text is None:
+        text = F.col("text")
     return F.split(F.trim(text), r"\s+")
 
 

@@ -65,7 +65,10 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     The streaming equivalent is session_window(ts, gap); the batch window
     form is the deterministic oracle."""
     w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w_user)
+    # parquet timestamps may load as TIMESTAMP_NTZ (not castable to long);
+    # route through a plain timestamp first (session TZ pinned to UTC)
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w_user)
     marked = events.withColumn(
         "new_session",
         F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0),

@@ -1,0 +1,102 @@
+"""Two-parallelism scaling evidence (BASELINE.md protocol).
+
+No multi-node cluster exists in this sandbox, so the north rule's
+N→4N-executor criterion is evidenced by running the SAME job on the
+SAME input at local[8] and local[32] and reporting throughput at both
+plus efficiency = (edges/sec @32) / (4 × edges/sec @8), target ≥ 0.8.
+
+Each measurement runs in a fresh subprocess (one JVM per parallelism
+level — no warm-cache contamination between levels).
+
+Usage: python tools/scaling_bench.py [--sf-dir DIR] [--out BENCH_SCALING.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import subprocess
+import sys
+import os
+
+WORKER = r"""
+import json, sys, time
+sys.path.insert(0, "/root/repo")
+master, sf_dir, kernel = sys.argv[1], sys.argv[2], sys.argv[3]
+n = master[master.find('[')+1:master.find(']')]
+from parrsb_spark.session import get_spark
+from parrsb_spark import entry_queries as EQ
+spark = get_spark(master=master, app_name=f"scaling-{kernel}-{n}", shuffle_partitions=int(n))
+edges = EQ.bipartite_edges(spark, sf_dir).cache()
+m = edges.count()
+t0 = time.time()
+if kernel == "pagerank":
+    from parrsb_spark.operators.pagerank import pagerank
+    ITERS = 10
+    pagerank(edges, fixed_iters=ITERS).agg({"pr": "sum"}).collect()
+    work = m * ITERS
+elif kernel == "cc":
+    from parrsb_spark.operators.components import connected_components
+    connected_components(edges).select("comp").distinct().count()
+    work = m
+elif kernel == "fiedler":
+    from parrsb_spark.operators.fiedler import fiedler
+    from parrsb_spark.config import EngineOptions
+    opts = EngineOptions(rsb_max_iter=25, rsb_max_passes=1, rsb_tol=1e-4)
+    fiedler(edges, opts=opts).count()
+    work = m * 25
+elif kernel == "triangles":
+    from parrsb_spark.operators.triangles import triangle_total
+    cp = EQ.copurchase_edges(spark, sf_dir).cache()
+    m = cp.count()
+    triangle_total(cp)
+    work = m
+wall = time.time() - t0
+spark.stop()
+print(json.dumps({"kernel": kernel, "master": master, "wall_s": round(wall, 2),
+                  "edges": m, "edges_per_sec": round(work / wall, 1)}))
+"""
+
+
+def run_one(master: str, sf_dir: str, kernel: str) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-c", WORKER, master, sf_dir, kernel],
+        capture_output=True, text=True, timeout=3600,
+        env={**os.environ, "SPARK_GRAFT_DRIVER_MEM": "40g"},
+    )
+    if out.returncode != 0:
+        raise RuntimeError(f"{kernel}@{master} failed:\n{out.stderr[-2000:]}")
+    line = out.stdout.strip().splitlines()[-1]
+    return json.loads(line)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--out", default="BENCH_SCALING.json")
+    ap.add_argument("--kernels", nargs="*", default=["pagerank", "cc", "fiedler", "triangles"])
+    args = ap.parse_args()
+
+    results = []
+    for kernel in args.kernels:
+        small = run_one("local[8]", args.sf_dir, kernel)
+        large = run_one("local[32]", args.sf_dir, kernel)
+        eff = round(large["edges_per_sec"] / (4 * small["edges_per_sec"]), 3)
+        row = {
+            "kernel": kernel,
+            "edges": large["edges"],
+            "local8_wall_s": small["wall_s"],
+            "local8_edges_per_sec": small["edges_per_sec"],
+            "local32_wall_s": large["wall_s"],
+            "local32_edges_per_sec": large["edges_per_sec"],
+            "scaling_efficiency": eff,
+        }
+        print(json.dumps(row), flush=True)
+        results.append(row)
+    with open(args.out, "w") as f:
+        json.dump({"sf_dir": args.sf_dir, "protocol": "local[8] vs local[32], same input",
+                   "results": results}, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
