@@ -205,15 +205,15 @@ def sql_graph_triangles():
 def q_graph_mirror_pairs(spark, sf_dir):
     from parrsb_spark.operators.checks import mirror_pairs
 
-    return mirror_pairs(copurchase_edges(spark, sf_dir), min_shared=3).select("u", "v", "shared")
+    return mirror_pairs(bipartite_edges(spark, sf_dir), min_shared=40).select("u", "v", "shared")
 
 
 def sql_graph_mirror_pairs():
     return (
-        f"WITH {CP_CTE}, {CP_SYM_CTE} "
+        f"WITH {EG_CTE}, {SYM_CTE} "
         "SELECT a.dst AS u, b.dst AS v, count(*) AS shared "
-        "FROM cpsym a JOIN cpsym b ON a.src = b.src AND a.dst < b.dst "
-        "GROUP BY a.dst, b.dst HAVING count(*) >= 3"
+        "FROM sym a JOIN sym b ON a.src = b.src AND a.dst < b.dst "
+        "GROUP BY a.dst, b.dst HAVING count(*) >= 40"
     )
 
 
@@ -225,7 +225,7 @@ def q_graph_fiedler(spark, sf_dir):
     from parrsb_spark.config import EngineOptions
 
     e = bipartite_edges(spark, sf_dir)
-    opts = EngineOptions(rsb_max_iter=30, rsb_max_passes=2, rsb_tol=1e-6)
+    opts = EngineOptions(rsb_max_iter=20, rsb_max_passes=1, rsb_tol=1e-4)
     return fiedler(e, opts=opts).select("vid", "fiedler")
 
 
@@ -234,8 +234,8 @@ def q_graph_rsb_parts(spark, sf_dir):
     from parrsb_spark.config import EngineOptions
 
     e = bipartite_edges(spark, sf_dir)
-    opts = EngineOptions(rsb_max_iter=25, rsb_max_passes=2, rsb_tol=1e-5)
-    return rsb_partition(e, 4, opts=opts).select("vid", "part")
+    opts = EngineOptions(rsb_max_iter=15, rsb_max_passes=1, rsb_tol=1e-4)
+    return rsb_partition(e, 2, opts=opts).select("vid", "part")
 
 
 # ---------------------------------------------------------------------------
@@ -609,10 +609,10 @@ def sql_emb_cosine_topk(k: int = 5):
 def q_emb_neardup(spark, sf_dir):
     from parrsb_spark.operators.dedup import embedding_neardup_pairs
 
-    return embedding_neardup_pairs(_load(spark, sf_dir, "embeddings"), threshold=0.9)
+    return embedding_neardup_pairs(_load(spark, sf_dir, "embeddings"), threshold=0.45)
 
 
-def sql_emb_neardup(threshold: float = 0.9):
+def sql_emb_neardup(threshold: float = 0.45):
     return (
         "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) "
         "SELECT a.vec_id AS a, b.vec_id AS b, "

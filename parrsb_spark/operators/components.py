@@ -52,7 +52,7 @@ def connected_components(
         joined = (
             labels.join(nbr_min, "vid", "left")
             .select("vid", "comp", F.least("comp", F.coalesce("nbr", "comp")).alias("new"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)  # the changed-count below materializes it
         )
         changed = joined.filter(F.col("new") < F.col("comp")).count()
         labels = joined.select("vid", F.col("new").alias("comp"))

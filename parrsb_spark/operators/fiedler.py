@@ -133,21 +133,23 @@ def _orthonormalize(df: DataFrame, in_col: str, out_col: str) -> DataFrame:
     """Deflate the constant vector per group then scale to unit norm
     (ref ortho, fiedler.c:20-30; normalization :590)."""
     spark = df.sparkSession
-    stats = df.groupBy("grp").agg(F.sum(in_col).alias("s"), F.count("*").alias("n")).collect()
-    means = _scalars_df(
-        spark, [(int(r["grp"]), float(r["s"] / r["n"])) for r in stats], "grp long, mu double"
+    # one reduction: mu = Σx/n, ||x − mu||² = Σx² − n·mu²
+    stats = (
+        df.groupBy("grp")
+        .agg(F.sum(in_col).alias("s"), F.sum(F.col(in_col) ** 2).alias("ss"), F.count("*").alias("n"))
+        .collect()
     )
-    centered = df.join(means, "grp").withColumn("_c", F.col(in_col) - F.col("mu"))
-    norms = centered.groupBy("grp").agg(F.sqrt(F.sum(F.col("_c") ** 2)).alias("nrm")).collect()
-    nrm = _scalars_df(
-        spark,
-        [(int(r["grp"]), float(r["nrm"]) if r["nrm"] and r["nrm"] > _EPS else 1.0) for r in norms],
-        "grp long, nrm double",
-    )
+    rows = []
+    for r in stats:
+        mu = float(r["s"] / r["n"])
+        nrm2 = float(r["ss"]) - r["n"] * mu * mu
+        nrm = math.sqrt(nrm2) if nrm2 > _EPS else 1.0
+        rows.append((int(r["grp"]), mu, nrm))
+    sc = _scalars_df(spark, rows, "grp long, mu double, nrm double")
     return (
-        centered.join(nrm, "grp")
-        .withColumn(out_col, F.col("_c") / F.col("nrm"))
-        .drop("mu", "nrm", "_c", in_col)
+        df.join(sc, "grp")
+        .withColumn(out_col, (F.col(in_col) - F.col("mu")) / F.col("nrm"))
+        .drop("mu", "nrm", in_col)
     )
 
 
@@ -177,6 +179,8 @@ def _lanczos_pass(e, state, sizes, opts):
     ]
     miter = min(opts.rsb_max_iter, max(sizes.values()))
     state = state.localCheckpoint(eager=True)
+    # NOTE: in-loop checkpoints below are LAZY — the very next groupBy
+    # collect materializes them, saving one job per iteration
 
     for j in range(miter):
         if not any(active.values()):
@@ -188,29 +192,38 @@ def _lanczos_pass(e, state, sizes, opts):
         )
         st = _spmv(e, state, "q").join(beta_prev, "grp")
         st = st.withColumn("w", F.col("_Lq") - F.col("bp") * F.col("qprev")).drop("_Lq", "bp")
-        # agg 1: alpha = <w, q>, plus Σw for the ones-deflation
+        # ONE reduction per iteration (the single comm_allreduce analogue):
+        # alpha = <w,q>;  mu = Σw/n (ones-deflation, since Σq = 0);
+        # beta² = ||w − αq − mu||² = <w,w> − α² − n·mu²  (q unit, q ⟂ 1).
         a_rows = {
             r["grp"]: r
             for r in st.groupBy("grp")
-            .agg(F.sum(F.col("w") * F.col("q")).alias("a"), F.sum("w").alias("sw"), F.count("*").alias("n"))
+            .agg(
+                F.sum(F.col("w") * F.col("q")).alias("a"),
+                F.sum("w").alias("sw"),
+                F.sum(F.col("w") ** 2).alias("dww"),
+                F.count("*").alias("n"),
+            )
             .collect()
         }
-        sc1 = _scalars_df(
-            spark,
-            [
-                (g, float(a_rows[g]["a"] or 0.0), float((a_rows[g]["sw"] or 0.0) / a_rows[g]["n"]))
-                for g in groups
-            ],
-            "grp long, alpha double, mu double",
-        )
+        sc1_rows, b_rows = [], {}
+        for g in groups:
+            r = a_rows[g]
+            a = float(r["a"] or 0.0)
+            mu = float((r["sw"] or 0.0) / r["n"])
+            dww = float(r["dww"] or 0.0)
+            b2 = dww - a * a - r["n"] * mu * mu
+            # the identity cancels catastrophically once the Krylov space is
+            # exhausted (b² ≪ ‖w‖²): anything below √eps·‖w‖ is noise, not a
+            # direction — treat as converged (the reference's tiny-beta stop)
+            if b2 <= 1e-13 * max(dww, 1e-30):
+                b2 = 0.0
+            b_rows[g] = math.sqrt(b2) if b2 > 0 else 0.0
+            sc1_rows.append((g, a, mu))
+        sc1 = _scalars_df(spark, sc1_rows, "grp long, alpha double, mu double")
         st = st.join(sc1, "grp").withColumn(
             "w2", F.col("w") - F.col("alpha") * F.col("q") - F.col("mu")
         )
-        # agg 2: beta = ||w2||
-        b_rows = {
-            r["grp"]: float(r["b"] or 0.0)
-            for r in st.groupBy("grp").agg(F.sqrt(F.sum(F.col("w2") ** 2)).alias("b")).collect()
-        }
         for g in groups:
             if active[g]:
                 alphas[g].append(float(a_rows[g]["a"] or 0.0))
@@ -233,7 +246,7 @@ def _lanczos_pass(e, state, sizes, opts):
             "deg",
             F.when(F.col("act2") & F.col("act"), F.col("w2") / F.col("beta")).otherwise(F.col("q")).alias("q"),
             F.when(F.col("act2") & F.col("act"), F.col("q")).otherwise(F.col("qprev")).alias("qprev"),
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         for g in newly_done:
             active[g] = False
         if any(active[g] for g in groups):

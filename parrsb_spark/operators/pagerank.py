@@ -84,7 +84,7 @@ def pagerank(
         # eager per-iteration checkpoint in BOTH modes: the next iteration's
         # dangling-mass collect would otherwise recompute the whole uncached
         # lineage (O(iters²) total work) and the plan tree would keep growing
-        new_ranks = new_ranks.localCheckpoint(eager=True)
+        new_ranks = new_ranks.localCheckpoint(eager=(fixed_iters is None))
         if fixed_iters is None:
             delta = new_ranks.agg(F.sum(F.abs(F.col("pr") - F.col("_old")))).collect()[0][0]
             ranks = new_ranks.drop("_old")
