@@ -34,28 +34,41 @@ def connected_components(
     edges: DataFrame,
     vertices: DataFrame | None = None,
     max_iter: int = 200,
-    checkpoint_interval: int = 4,
+    chain: int = 2,
 ) -> DataFrame:
-    """Returns (vid, comp) with comp = min vid of the component (exact)."""
+    """Returns (vid, comp) with comp = min vid of the component (exact).
+
+    `chain` propagation rounds run fused between convergence checks (the
+    check compares against the state before the burst: a burst with zero
+    movement ⇒ global fixpoint, since min-label updates are monotone)."""
     spark = edges.sparkSession
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
     sym = symmetrize(edges).repartition(n_shuffle, "src").cache()
     verts = (vertices or vertices_from_edges(edges)).select("vid")
     labels = verts.withColumn("comp", F.col("vid")).repartition(n_shuffle, "vid").cache()
 
-    for it in range(max_iter):
+    def one_round(lbl: DataFrame) -> DataFrame:
         nbr_min = (
-            sym.join(labels.select(F.col("vid").alias("src"), F.col("comp")), "src")
+            sym.join(lbl.select(F.col("vid").alias("src"), F.col("comp")), "src")
             .groupBy(F.col("dst").alias("vid"))
             .agg(F.min("comp").alias("nbr"))
         )
-        joined = (
-            labels.join(nbr_min, "vid", "left")
-            .select("vid", "comp", F.least("comp", F.coalesce("nbr", "comp")).alias("new"))
-            .localCheckpoint(eager=False)  # the changed-count below materializes it
+        return lbl.join(nbr_min, "vid", "left").select(
+            "vid", F.least("comp", F.coalesce("nbr", "comp")).alias("comp")
         )
-        changed = joined.filter(F.col("new") < F.col("comp")).count()
-        labels = joined.select("vid", F.col("new").alias("comp"))
+
+    done = 0
+    while done < max_iter:
+        prev = labels
+        for _ in range(min(chain, max_iter - done)):
+            labels = one_round(labels)
+        labels = labels.localCheckpoint(eager=False)  # changed-count materializes it
+        done += chain
+        changed = (
+            labels.join(prev.select("vid", F.col("comp").alias("_old")), "vid")
+            .filter(F.col("comp") < F.col("_old"))
+            .count()
+        )
         if changed == 0:
             break
     sym.unpersist()

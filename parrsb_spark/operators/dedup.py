@@ -105,20 +105,23 @@ def minhash_lsh_pairs(
     (tiny) candidate set — the 100 TB-safe plan shape."""
     sig = minhash_signatures(docs, k, n)
     rows_per_band = k // bands
-    band_cols = []
+    band_structs = []
     for bnd in range(bands):
         cols = [F.col(f"h{bnd * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(
-            F.md5(F.concat_ws("_", F.lit(bnd), *[c.cast("string") for c in cols])).alias(f"b{bnd}")
-        )
-    banded = sig.select("doc_id", *band_cols)
-    cand = None
-    for bnd in range(bands):
-        left = banded.select(F.col("doc_id").alias("a"), F.col(f"b{bnd}").alias("bk"))
-        right = banded.select(F.col("doc_id").alias("b"), F.col(f"b{bnd}").alias("bk"))
-        c = left.join(right, "bk").filter(F.col("a") < F.col("b")).select("a", "b")
-        cand = c if cand is None else cand.union(c)
-    cand = cand.distinct()
+        bh = F.md5(F.concat_ws("_", F.lit(bnd), *[c.cast("string") for c in cols]))
+        band_structs.append(F.struct(F.lit(bnd).alias("bnd"), bh.alias("bh")))
+    # one explode + ONE self-join on the band key (instead of `bands`
+    # separate self-joins unioned — fewer shuffles, same candidates)
+    banded = sig.select("doc_id", F.explode(F.array(*band_structs)).alias("b")).select(
+        "doc_id", F.col("b.bnd").alias("bnd"), F.col("b.bh").alias("bh")
+    )
+    cand = (
+        banded.select(F.col("doc_id").alias("a"), "bnd", "bh")
+        .join(banded.select(F.col("doc_id").alias("b"), "bnd", "bh"), ["bnd", "bh"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
     # exact verify on candidates only
     sh = shingles(docs, n).cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))

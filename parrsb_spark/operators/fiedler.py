@@ -206,7 +206,7 @@ def _lanczos_pass(e, state, sizes, opts):
             )
             .collect()
         }
-        sc1_rows, b_rows = [], {}
+        b_rows = {}
         for g in groups:
             r = a_rows[g]
             a = float(r["a"] or 0.0)
@@ -219,27 +219,28 @@ def _lanczos_pass(e, state, sizes, opts):
             if b2 <= 1e-13 * max(dww, 1e-30):
                 b2 = 0.0
             b_rows[g] = math.sqrt(b2) if b2 > 0 else 0.0
-            sc1_rows.append((g, a, mu))
-        sc1 = _scalars_df(spark, sc1_rows, "grp long, alpha double, mu double")
-        st = st.join(sc1, "grp").withColumn(
-            "w2", F.col("w") - F.col("alpha") * F.col("q") - F.col("mu")
-        )
         for g in groups:
             if active[g]:
                 alphas[g].append(float(a_rows[g]["a"] or 0.0))
-        sc2_rows = []
+        # one combined per-group scalar row: (alpha, mu, beta, act2)
+        sc_rows = []
         newly_done = set()
         for g in groups:
+            r = a_rows[g]
+            a = float(r["a"] or 0.0)
+            mu = float((r["sw"] or 0.0) / r["n"])
             b = b_rows.get(g, 0.0)
             if active[g] and b > 1e-10 and len(alphas[g]) < sizes[g]:
                 betas[g].append(b)
-                sc2_rows.append((g, b, True))
+                sc_rows.append((g, a, mu, b, True))
             else:
                 if active[g]:
                     newly_done.add(g)
-                sc2_rows.append((g, 1.0, False))
-        sc2 = _scalars_df(spark, sc2_rows, "grp long, beta double, act2 boolean")
-        st = st.join(sc2, "grp")
+                sc_rows.append((g, a, mu, 1.0, False))
+        sc = _scalars_df(spark, sc_rows, "grp long, alpha double, mu double, beta double, act2 boolean")
+        st = st.join(sc, "grp").withColumn(
+            "w2", F.col("w") - F.col("alpha") * F.col("q") - F.col("mu")
+        )
         state = st.select(
             "vid",
             "grp",

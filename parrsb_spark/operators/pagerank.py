@@ -7,12 +7,16 @@ with dangling_t = Σ_{outdeg(u)=0} pr_t(u) redistributed uniformly.
 
 Dataflow per iteration (ONE gather-scatter, SURVEY.md §2 B5):
     state ⋈ edges on src → groupBy(dst).sum → join back to state.
+
 Scale design:
 - `edges` is the loop-invariant side: hash-partitioned on src once and
   cached; the per-iteration join then only exchanges the (small) state.
-- dangling mass + L1 delta come back as ONE driver scalar per iteration
-  (the comm_allreduce analogue, ref /root/reference/src/fiedler.c:13-18).
-- eager localCheckpoint every iteration truncates the logical plan
+- the dangling mass stays ON THE CLUSTER as a broadcast one-row
+  aggregate (no driver round-trip per iteration): iterations chain
+  lazily and only hit an action at checkpoint boundaries, so a burst of
+  `chain` iterations is ONE Spark job of fused SpMV rounds (Catalyst's
+  ReuseExchange dedupes the shared subtrees).
+- localCheckpoint every `chain` iterations truncates the logical plan
   (mandatory in iterative Spark, SURVEY.md §7).
 - hub skew: AQE skew-join splits oversized src partitions; the groupBy
   is already map-side combined.
@@ -33,17 +37,18 @@ def pagerank(
     tol: float = 1e-8,
     fixed_iters: int | None = None,
     vertices: DataFrame | None = None,
+    chain: int = 4,
 ) -> DataFrame:
     """Returns (vid, pr). `fixed_iters` runs exactly that many iterations
-    with no convergence action (oracle-parity mode); otherwise iterate to
-    L1 delta < tol or max_iter."""
+    with no convergence checks (oracle-parity mode); otherwise iterate to
+    L1 delta < tol or max_iter, testing convergence every `chain` steps."""
     spark = edges.sparkSession
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    d = damping
 
     e = edges.select("src", "dst").repartition(n_shuffle, "src").cache()
     verts = (vertices or vertices_from_edges(e)).select("vid")
     outdeg = e.groupBy(F.col("src").alias("vid")).agg(F.count("*").alias("outdeg"))
-    # state carries outdeg so the loop never re-joins the degree table
     state = (
         verts.join(outdeg, "vid", "left")
         .select("vid", F.coalesce("outdeg", F.lit(0)).alias("outdeg"))
@@ -55,41 +60,57 @@ def pagerank(
         return state.select("vid", F.lit(0.0).alias("pr"))
 
     ranks = state.withColumn("pr", F.lit(1.0 / n))
-    iters = fixed_iters if fixed_iters is not None else max_iter
-    for it in range(iters):
-        # one scalar round-trip: dangling mass (+ optional delta later)
-        dangling = (
-            ranks.filter(F.col("outdeg") == 0).agg(F.sum("pr")).collect()[0][0] or 0.0
+
+    def one_iter(r: DataFrame) -> DataFrame:
+        # dangling mass as a broadcast 1-row aggregate — no driver round-trip
+        dang = F.broadcast(
+            r.agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("outdeg") == 0, F.col("pr"))), F.lit(0.0)
+                ).alias("_dang")
+            )
         )
         contribs = (
             e.join(
-                ranks.filter(F.col("outdeg") > 0).select(
+                r.filter(F.col("outdeg") > 0).select(
                     F.col("vid").alias("src"), (F.col("pr") / F.col("outdeg")).alias("c")
                 ),
                 "src",
             )
             .groupBy(F.col("dst").alias("vid"))
-            .agg(F.sum("c").alias("gathered"))
+            .agg(F.sum("c").alias("g"))
         )
-        base = (1.0 - damping) / n + damping * dangling / n
-        new_ranks = (
-            ranks.join(contribs, "vid", "left")
+        # same association order as the SQL oracle:
+        # (0.15 + 0.85*dang)/n + 0.85*gather
+        return (
+            r.join(contribs, "vid", "left")
+            .crossJoin(dang)
             .select(
                 "vid",
                 "outdeg",
-                (F.lit(base) + F.lit(damping) * F.coalesce("gathered", F.lit(0.0))).alias("pr"),
-                F.col("pr").alias("_old"),
+                (
+                    (F.lit(1.0 - d) + F.lit(d) * F.col("_dang")) / F.lit(float(n))
+                    + F.lit(d) * F.coalesce("g", F.lit(0.0))
+                ).alias("pr"),
             )
         )
-        # eager per-iteration checkpoint in BOTH modes: the next iteration's
-        # dangling-mass collect would otherwise recompute the whole uncached
-        # lineage (O(iters²) total work) and the plan tree would keep growing
-        new_ranks = new_ranks.localCheckpoint(eager=(fixed_iters is None))
+
+    iters = fixed_iters if fixed_iters is not None else max_iter
+    done = 0
+    while done < iters:
+        burst = min(chain, iters - done)
+        prev = ranks
+        for _ in range(burst):
+            ranks = one_iter(ranks)
+        ranks = ranks.localCheckpoint(eager=True)  # one job per burst
+        done += burst
         if fixed_iters is None:
-            delta = new_ranks.agg(F.sum(F.abs(F.col("pr") - F.col("_old")))).collect()[0][0]
-            ranks = new_ranks.drop("_old")
+            delta = (
+                ranks.join(prev.select("vid", F.col("pr").alias("_old")), "vid")
+                .agg(F.sum(F.abs(F.col("pr") - F.col("_old"))))
+                .collect()[0][0]
+            )
+            # L1 movement across the whole burst below tol ⇒ converged
             if delta is not None and delta < tol:
                 break
-        else:
-            ranks = new_ranks.drop("_old")
     return ranks.select("vid", "pr")
