@@ -46,6 +46,9 @@ def main():
     extra: dict[str, float] = {}
 
     def timed(name, fn):
+        import gc
+
+        gc.collect()  # release dropped localCheckpoint RDDs between queries
         t0 = time.time()
         out = fn()
         dt = time.time() - t0

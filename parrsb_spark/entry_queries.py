@@ -670,6 +670,7 @@ def sql_mm_image_meta():
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "pages_edges": q_pages_edges,
         "graph_edges": q_graph_edges,
         "graph_degree": q_graph_degree,
         "graph_pagerank": q_graph_pagerank,
@@ -703,6 +704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "pages_edges": sql_pages_edges(),
         "graph_edges": sql_graph_edges(),
         "graph_degree": sql_graph_degree(),
         "graph_pagerank": sql_graph_pagerank(),
@@ -731,3 +733,35 @@ def oracle_sql() -> dict[str, str]:
         "emb_neardup": sql_emb_neardup(),
         "mm_image_meta": sql_mm_image_meta(),
     }
+
+
+# ---------------------------------------------------------------------------
+# flagship extraction pipeline (pages → edges) — oracle is a VALUES literal
+# computed by the independent pure-Python generator (no Spark, no DuckDB
+# table): evidences byte-identical extraction + dense-id assignment.
+
+PAGES_N, PAGES_M, PAGES_SEED = 192, 3, 42
+
+
+def q_pages_edges(spark, sf_dir):
+    from parrsb_spark.sources.edges import edges_from_pages
+    from parrsb_spark.sources.pages import synth_pages
+
+    pages = synth_pages(spark, PAGES_N, m=PAGES_M, seed=PAGES_SEED)
+    edges, _ = edges_from_pages(pages)
+    return edges.select("src", "dst")
+
+
+def sql_pages_edges():
+    from parrsb_spark.sources.pages import page_links, page_url
+
+    urls = {page_url(i) for i in range(PAGES_N)}
+    for i in range(PAGES_N):
+        urls.update(page_links(i, PAGES_N, PAGES_M, PAGES_SEED))
+    vid = {u: k + 1 for k, u in enumerate(sorted(urls))}
+    pairs = set()
+    for i in range(PAGES_N):
+        for t in page_links(i, PAGES_N, PAGES_M, PAGES_SEED):
+            pairs.add((vid[page_url(i)], vid[t]))
+    vals = ", ".join(f"({a}, {b})" for a, b in sorted(pairs))
+    return f"SELECT * FROM (VALUES {vals}) t(src, dst)"

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from parrsb_spark.functions.spmv import symmetrize
+from parrsb_spark.session import iterative_conf
 from parrsb_spark.sources.edges import vertices_from_edges
 
 
@@ -58,19 +59,20 @@ def connected_components(
         )
 
     done = 0
-    while done < max_iter:
-        prev = labels
-        for _ in range(min(chain, max_iter - done)):
-            labels = one_round(labels)
-        labels = labels.localCheckpoint(eager=False)  # changed-count materializes it
-        done += chain
-        changed = (
-            labels.join(prev.select("vid", F.col("comp").alias("_old")), "vid")
-            .filter(F.col("comp") < F.col("_old"))
-            .count()
-        )
-        if changed == 0:
-            break
+    with iterative_conf(spark):
+        while done < max_iter:
+            prev = labels
+            for _ in range(min(chain, max_iter - done)):
+                labels = one_round(labels)
+            labels = labels.localCheckpoint(eager=False)  # changed-count materializes
+            done += chain
+            changed = (
+                labels.join(prev.select("vid", F.col("comp").alias("_old")), "vid")
+                .filter(F.col("comp") < F.col("_old"))
+                .count()
+            )
+            if changed == 0:
+                break
     sym.unpersist()
     return labels
 

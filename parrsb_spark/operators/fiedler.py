@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from parrsb_spark.config import EngineOptions, default_options
 from parrsb_spark.functions.spmv import symmetrize
+from parrsb_spark.session import iterative_conf
 from parrsb_spark.sources.edges import vertices_from_edges
 
 _EPS = 1e-30
@@ -98,19 +99,20 @@ def fiedler(
     state = _orthonormalize(init, "x", "q").withColumn("qprev", F.lit(0.0))
     f_df = None
 
-    for pss in range(max(1, opts.rsb_max_passes)):
-        state, alphas, betas, basis = _lanczos_pass(e, state, sizes, opts)
-        f_df = _recombine(spark, basis, alphas, betas, sizes)
-        # residual check per group: ||L f - lambda f||
-        res = _residuals(e, f_df, spark, alphas, betas, sizes)
-        if all(r < opts.rsb_tol for r in res.values()):
-            break
-        # restart with f as the new initial vector (ref fiedler.c:529)
-        state = (
-            base.join(f_df.select("vid", F.col("fiedler").alias("x")), "vid", "left")
-            .select("vid", "grp", "deg", F.coalesce("x", F.lit(0.0)).alias("x"))
-        )
-        state = _orthonormalize(state, "x", "q").withColumn("qprev", F.lit(0.0))
+    with iterative_conf(spark):
+        for pss in range(max(1, opts.rsb_max_passes)):
+            state, alphas, betas, basis = _lanczos_pass(e, state, sizes, opts)
+            f_df = _recombine(spark, basis, alphas, betas, sizes)
+            # residual check per group: ||L f - lambda f||
+            res = _residuals(e, f_df, spark, alphas, betas, sizes)
+            if all(r < opts.rsb_tol for r in res.values()):
+                break
+            # restart with f as the new initial vector (ref fiedler.c:529)
+            state = (
+                base.join(f_df.select("vid", F.col("fiedler").alias("x")), "vid", "left")
+                .select("vid", "grp", "deg", F.coalesce("x", F.lit(0.0)).alias("x"))
+            )
+            state = _orthonormalize(state, "x", "q").withColumn("qprev", F.lit(0.0))
 
     out = f_df.select("vid", "grp", "fiedler")
     if sign_fix:

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from parrsb_spark.functions.spmv import symmetrize
+from parrsb_spark.session import iterative_conf
 from parrsb_spark.sources.edges import vertices_from_edges
 
 
@@ -35,6 +36,8 @@ def label_propagation(
     labels = verts.withColumn("label", F.col("vid"))
 
     w = Window.partitionBy("vid").orderBy(F.desc("cnt"), F.asc("label"))
+    ctx = iterative_conf(spark)
+    ctx.__enter__()
     for it in range(n_iter):
         nbr = sym.join(labels.select(F.col("vid").alias("src"), "label"), "src").select(
             F.col("dst").alias("vid"), "label"
@@ -48,5 +51,6 @@ def label_propagation(
         )
         if (it + 1) % checkpoint_interval == 0:
             labels = labels.localCheckpoint(eager=True)
+    ctx.__exit__(None, None, None)
     sym.unpersist()
     return labels

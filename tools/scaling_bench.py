@@ -19,48 +19,12 @@ import subprocess
 import sys
 import os
 
-WORKER = r"""
-import json, sys, time
-sys.path.insert(0, "/root/repo")
-master, sf_dir, kernel = sys.argv[1], sys.argv[2], sys.argv[3]
-n = master[master.find('[')+1:master.find(']')]
-from parrsb_spark.session import get_spark
-from parrsb_spark import entry_queries as EQ
-spark = get_spark(master=master, app_name=f"scaling-{kernel}-{n}", shuffle_partitions=int(n))
-edges = EQ.bipartite_edges(spark, sf_dir).cache()
-m = edges.count()
-t0 = time.time()
-if kernel == "pagerank":
-    from parrsb_spark.operators.pagerank import pagerank
-    ITERS = 10
-    pagerank(edges, fixed_iters=ITERS).agg({"pr": "sum"}).collect()
-    work = m * ITERS
-elif kernel == "cc":
-    from parrsb_spark.operators.components import connected_components
-    connected_components(edges).select("comp").distinct().count()
-    work = m
-elif kernel == "fiedler":
-    from parrsb_spark.operators.fiedler import fiedler
-    from parrsb_spark.config import EngineOptions
-    opts = EngineOptions(rsb_max_iter=25, rsb_max_passes=1, rsb_tol=1e-4)
-    fiedler(edges, opts=opts).count()
-    work = m * 25
-elif kernel == "triangles":
-    from parrsb_spark.operators.triangles import triangle_total
-    cp = EQ.copurchase_edges(spark, sf_dir).cache()
-    m = cp.count()
-    triangle_total(cp)
-    work = m
-wall = time.time() - t0
-spark.stop()
-print(json.dumps({"kernel": kernel, "master": master, "wall_s": round(wall, 2),
-                  "edges": m, "edges_per_sec": round(work / wall, 1)}))
-"""
+WORKER_PATH = "/root/repo/tools/scaling_worker.py"
 
 
 def run_one(master: str, sf_dir: str, kernel: str) -> dict:
     out = subprocess.run(
-        [sys.executable, "-c", WORKER, master, sf_dir, kernel],
+        [sys.executable, WORKER_PATH, master, sf_dir, kernel],
         capture_output=True, text=True, timeout=3600,
         env={**os.environ, "SPARK_GRAFT_DRIVER_MEM": "40g"},
     )

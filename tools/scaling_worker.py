@@ -1,0 +1,73 @@
+"""One scaling measurement: kernel × master, fresh JVM.
+Usage: python tools/scaling_worker.py local[8] <sf_dir|graph.parquet> pagerank
+If the 2nd arg ends in .parquet it is read directly as the edge table
+(the bench-scale deterministic power-law graph, identical bytes at both
+parallelism levels); otherwise edges derive from the sf_dir tables.
+Prints one JSON line."""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+master, sf_dir, kernel = sys.argv[1], sys.argv[2], sys.argv[3]
+spec = master[master.find("[") + 1 : master.find("]")]
+if master.startswith("local-cluster"):
+    execs, cores, _mem = spec.split(",")
+    n = str(int(execs) * int(cores))  # total cores -> shuffle partitions
+else:
+    n = spec
+
+from parrsb_spark.session import get_spark
+from parrsb_spark import entry_queries as EQ
+
+spark = get_spark(master=master, app_name=f"scaling-{kernel}-{n}", shuffle_partitions=int(n))
+spark.sparkContext.setLogLevel("ERROR")
+if sf_dir.endswith(".parquet"):
+    edges = spark.read.parquet(sf_dir).cache()
+else:
+    edges = EQ.bipartite_edges(spark, sf_dir).cache()
+m = edges.count()
+t0 = time.time()
+if kernel == "pagerank":
+    from parrsb_spark.operators.pagerank import pagerank
+
+    ITERS = 6
+    pagerank(edges, fixed_iters=ITERS).agg({"pr": "sum"}).collect()
+    work = m * ITERS
+elif kernel == "cc":
+    from parrsb_spark.operators.components import connected_components
+
+    connected_components(edges).select("comp").distinct().count()
+    work = m
+elif kernel == "fiedler":
+    from parrsb_spark.operators.fiedler import fiedler
+    from parrsb_spark.config import EngineOptions
+
+    MITER = 10
+    opts = EngineOptions(rsb_max_iter=MITER, rsb_max_passes=1, rsb_tol=1e-4)
+    fiedler(edges, opts=opts).count()
+    work = m * MITER
+elif kernel == "triangles":
+    from parrsb_spark.operators.triangles import triangle_total
+
+    cp = edges if sf_dir.endswith(".parquet") else EQ.copurchase_edges(spark, sf_dir).cache()
+    m = cp.count()
+    triangle_total(cp)
+    work = m
+else:
+    raise SystemExit(f"unknown kernel {kernel}")
+wall = time.time() - t0
+spark.stop()
+print(
+    json.dumps(
+        {
+            "kernel": kernel,
+            "master": master,
+            "wall_s": round(wall, 2),
+            "edges": m,
+            "edges_per_sec": round(work / wall, 1),
+        }
+    )
+)
