@@ -13,16 +13,20 @@ sys.path.insert(0, "/root/repo")
 
 master, sf_dir, kernel = sys.argv[1], sys.argv[2], sys.argv[3]
 spec = master[master.find("[") + 1 : master.find("]")]
+extra = {}
 if master.startswith("local-cluster"):
-    execs, cores, _mem = spec.split(",")
+    execs, cores, mem = spec.split(",")
     n = str(int(execs) * int(cores))  # total cores -> shuffle partitions
+    # local-cluster's 3rd param is WORKER memory; executors still default
+    # to 1g unless spark.executor.memory is set explicitly
+    extra["spark.executor.memory"] = f"{int(mem) - 1024}m"
 else:
     n = spec
 
 from parrsb_spark.session import get_spark
 from parrsb_spark import entry_queries as EQ
 
-spark = get_spark(master=master, app_name=f"scaling-{kernel}-{n}", shuffle_partitions=int(n))
+spark = get_spark(master=master, app_name=f"scaling-{kernel}-{n}", shuffle_partitions=int(n), extra_conf=extra)
 spark.sparkContext.setLogLevel("ERROR")
 if sf_dir.endswith(".parquet"):
     edges = spark.read.parquet(sf_dir).cache()
