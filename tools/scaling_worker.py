@@ -16,10 +16,15 @@ spec = master[master.find("[") + 1 : master.find("]")]
 extra = {}
 if master.startswith("local-cluster"):
     execs, cores, mem = spec.split(",")
-    n = str(int(execs) * int(cores))  # total cores -> shuffle partitions
+    # SAME partitioning at both cluster sizes (the job must be identical;
+    # more executors = fewer task waves): fixed 32 shuffle partitions
+    n = "32"
     # local-cluster's 3rd param is WORKER memory; executors still default
     # to 1g unless spark.executor.memory is set explicitly
     extra["spark.executor.memory"] = f"{int(mem) - 1024}m"
+    # executor Python workers need the package (spark-submit --py-files
+    # equivalent for this sandbox)
+    extra["spark.executorEnv.PYTHONPATH"] = "/root/repo"
 else:
     n = spec
 
@@ -59,6 +64,17 @@ elif kernel == "triangles":
     cp = edges if sf_dir.endswith(".parquet") else EQ.copurchase_edges(spark, sf_dir).cache()
     m = cp.count()
     triangle_total(cp)
+    work = m
+elif kernel == "extract":
+    # compute-bound Arrow-UDF pipeline: synth pages -> extract links ->
+    # edges + dense ids (no iterative shuffles; scales with cores)
+    from parrsb_spark.sources.pages import synth_pages
+    from parrsb_spark.sources.edges import edges_from_pages
+
+    N_PAGES = 120_000
+    pages = synth_pages(spark, N_PAGES, m=8, seed=42, partitions=64)
+    e2, _ = edges_from_pages(pages)
+    m = e2.count()
     work = m
 else:
     raise SystemExit(f"unknown kernel {kernel}")
