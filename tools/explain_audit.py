@@ -1,0 +1,59 @@
+"""Plan-quality audit: print formatted physical plans for key queries and
+grep the scale-critical properties (pushed filters, pruned schemas,
+broadcast joins, whole-stage codegen spans).
+
+Usage: python tools/explain_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+CHECKS = {
+    "pricing_summary": ["PushedFilters", "ReadSchema"],
+    "top_revenue_orders": ["BroadcastHashJoin"],
+    "graph_edges": ["ReadSchema"],
+    "docs_token_count": ["ReadSchema"],
+}
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    from parrsb_spark import entry_queries as EQ
+    from parrsb_spark.session import get_spark
+
+    spark = get_spark(master="local[4]", app_name="explain-audit", shuffle_partitions=4)
+    qs = EQ.queries()
+    failures = []
+    for name, wanted in CHECKS.items():
+        df = qs[name](spark, sf_dir)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+        print(f"===== {name} =====")
+        # show scan + join lines only (full plans are long)
+        for line in plan.splitlines():
+            if re.search(r"Scan parquet|PushedFilters|ReadSchema|BroadcastHashJoin|SortMergeJoin|WholeStageCodegen", line):
+                print("  ", line.strip()[:160])
+        for token in wanted:
+            if token not in plan:
+                failures.append(f"{name}: missing {token}")
+    # targeted assertions
+    plan = qs["pricing_summary"](spark, sf_dir)
+    p = plan._sc._jvm.PythonSQLUtils.explainString(plan._jdf.queryExecution(), "formatted")
+    if "l_shipdate" not in p.split("PushedFilters")[1][:200]:
+        failures.append("pricing_summary: shipdate filter not pushed to parquet scan")
+    # column pruning: token_count must not read lang/source columns
+    p2df = qs["docs_token_count"](spark, sf_dir)
+    p2 = p2df._sc._jvm.PythonSQLUtils.explainString(p2df._jdf.queryExecution(), "formatted")
+    m = re.search(r"ReadSchema: ([^\n]*)", p2)
+    if m and ("lang" in m.group(1) or "source" in m.group(1)):
+        failures.append("docs_token_count: unused columns not pruned")
+    spark.stop()
+    print("AUDIT FAILURES:", failures if failures else "none")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
