@@ -675,6 +675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degree": q_graph_degree,
         "graph_pagerank": q_graph_pagerank,
         "graph_cc": q_graph_cc,
+        "graph_cc_dense": q_graph_cc_dense,
         "graph_labelprop": q_graph_labelprop,
         "graph_triangles": q_graph_triangles,
         "graph_mirror_pairs": q_graph_mirror_pairs,
@@ -709,6 +710,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_degree": sql_graph_degree(),
         "graph_pagerank": sql_graph_pagerank(),
         "graph_cc": sql_graph_cc(),
+        "graph_cc_dense": sql_graph_cc_dense(),
         "graph_labelprop": sql_graph_labelprop(),
         "graph_triangles": sql_graph_triangles(),
         "graph_mirror_pairs": sql_graph_mirror_pairs(),
@@ -765,3 +767,20 @@ def sql_pages_edges():
             pairs.add((vid[page_url(i)], vid[t]))
     vals = ", ".join(f"({a}, {b})" for a, b in sorted(pairs))
     return f"SELECT * FROM (VALUES {vals}) t(src, dst)"
+
+
+def q_graph_cc_dense(spark, sf_dir):
+    """CC labels densely renumbered 1..K (C8 dense-renumber surface)."""
+    from parrsb_spark.operators.components import connected_components
+    from parrsb_spark.operators.contraction import dense_renumber
+
+    cc = connected_components(bipartite_edges(spark, sf_dir))
+    return dense_renumber(cc, col="comp", out_col="dense").select("vid", "dense")
+
+
+def sql_graph_cc_dense():
+    inner = sql_graph_cc()
+    return (
+        f"WITH base AS ({inner}) "
+        "SELECT vid, dense_rank() OVER (ORDER BY comp) AS dense FROM base"
+    )
