@@ -37,7 +37,17 @@ LP_ITERS = 3
 # shared derivations
 
 
+def _tune(spark: SparkSession) -> None:
+    """Defensive session conf for harness-owned sessions: UTC timestamps
+    (oracle parity) and sane shuffle parallelism (Spark's 200 default
+    makes the iterative kernels latency-bound at these scales)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+
+
 def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _tune(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
