@@ -502,14 +502,22 @@ def sql_docs_exact_dedup():
 def q_docs_fingerprint_bag(spark, sf_dir):
     from parrsb_spark.operators.textops import fingerprint_bag
 
-    return fingerprint_bag(_load(spark, sf_dir, "documents"))
+    # Match the oracle's empty-text handling: split(trim(''), '\s+') yields
+    # [''] in Spark, so an empty/whitespace-only doc would produce an fp row
+    # the oracle omits.
+    return fingerprint_bag(
+        _load(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    )
 
 
 def sql_docs_fingerprint_bag():
     return (
         "WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word "
         "FROM documents WHERE trim(text) <> '') "
-        f"SELECT doc_id, sum(('0x' || substr(md5(word), 1, 15))::BIGINT % {MOD_P}) % {MOD_P} AS fp "
+        # CAST: DuckDB sum(BIGINT) yields HUGEINT (int128); the driver's value
+        # normalizer stringifies int128 differently, so cast the (< 2^60,
+        # lossless) result back to BIGINT to keep the hash comparison typed.
+        f"SELECT doc_id, CAST(sum(('0x' || substr(md5(word), 1, 15))::BIGINT % {MOD_P}) % {MOD_P} AS BIGINT) AS fp "
         "FROM toks GROUP BY doc_id"
     )
 
@@ -585,7 +593,8 @@ def sql_docs_simhash(bits: int = 32):
         f"bitsx AS (SELECT doc_id, th, cnt, unnest(range(0, {bits})) AS bit FROM hashed), "
         "votes AS (SELECT doc_id, bit, sum(CASE WHEN (th >> bit) & 1 = 1 THEN cnt ELSE -cnt END) AS v "
         "FROM bitsx GROUP BY 1, 2) "
-        "SELECT doc_id, sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS simhash "
+        # CAST: avoid DuckDB HUGEINT in the outer sum (see sql_docs_fingerprint_bag).
+        "SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash "
         "FROM votes GROUP BY doc_id"
     )
 
@@ -617,9 +626,13 @@ def sql_emb_cosine_topk(k: int = 5):
 
 
 def q_emb_neardup(spark, sf_dir):
-    from parrsb_spark.operators.dedup import embedding_neardup_pairs
+    """Banded hyperplane-LSH bucket join → exact cosine verify — the
+    scale path (no crossJoin in the plan). The brute-force all-pairs SQL
+    below is its oracle; at τ=0.45 the banded params give per-pair miss
+    probability ≈ 3e-6, verified exact-equal on the test corpora."""
+    from parrsb_spark.operators.dedup import embedding_neardup_lsh
 
-    return embedding_neardup_pairs(_load(spark, sf_dir, "embeddings"), threshold=0.45)
+    return embedding_neardup_lsh(_load(spark, sf_dir, "embeddings"), threshold=0.45)
 
 
 def sql_emb_neardup(threshold: float = 0.45):

@@ -6,11 +6,11 @@ mesh vertices via segmented sort + prefix scan
 For a webgraph the match key is exact (canonicalized URL), so the Spark
 form is distinct → rank.
 
-Scale note: a global Window.orderBy is a single-partition sort — fine
-for the final dense numbering of *distinct keys* (distinct first, so
-cardinality is |V|, not |E|), but at 10^12 keys you'd switch to the
-zipWithIndex-style per-partition count + offset fix-up. We implement
-both and pick by size.
+Scale note: a global Window.orderBy would be a single-partition sort —
+a scale-killer at 10^12 keys — so `dense_ids` is the distributed
+per-partition count + prefix-offset form (the comm_scan analogue).
+`dense_ids_window` keeps the naive single-partition form as a
+cross-check oracle for tests only.
 """
 
 from __future__ import annotations
@@ -24,8 +24,16 @@ def dense_ids(keys: DataFrame, key_col: str = "url", out_col: str = "vid") -> Da
 
     Deterministic (pure function of the key set) — the engine's analogue
     of the reference's 'dense unique IDs' API contract
-    (/root/reference/README.md:55-58).
+    (/root/reference/README.md:55-58). Delegates to the scalable
+    range-partitioned numbering; no single-partition exchange anywhere
+    in the plan.
     """
+    return dense_ids_scalable(keys, key_col=key_col, out_col=out_col)
+
+
+def dense_ids_window(keys: DataFrame, key_col: str = "url", out_col: str = "vid") -> DataFrame:
+    """Naive single-partition-window form. Test oracle ONLY — do not use
+    in production paths (all rows funnel through one task)."""
     w = Window.orderBy(key_col)
     return keys.select(key_col).distinct().withColumn(out_col, F.row_number().over(w))
 

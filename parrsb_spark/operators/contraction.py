@@ -12,9 +12,10 @@ components over the alias pairs (min-label), so we reuse that kernel.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from parrsb_spark.functions.ids import dense_ids
 from parrsb_spark.operators.components import connected_components
 from parrsb_spark.sources.edges import vertices_from_edges
 
@@ -41,5 +42,14 @@ def contract_aliases(edges: DataFrame, aliases: DataFrame) -> tuple[DataFrame, D
 
 def dense_renumber(df: DataFrame, col: str = "comp", out_col: str = "dense") -> DataFrame:
     """Dense 1-based renumbering of a label column, order-preserving
-    (ref compressPeriodicVertices run-length renumber + prefix scan)."""
-    return df.withColumn(out_col, F.dense_rank().over(Window.orderBy(col)))
+    (ref compressPeriodicVertices run-length renumber + prefix scan).
+
+    Distributed form: number the *distinct* labels with the scalable
+    range-partitioned prefix-scan (`dense_ids`), then join the mapping
+    back — no global no-partition window, so no single-task funnel at
+    10^12 rows. The mapping side has one row per distinct label (tiny
+    relative to df), so AQE will broadcast it when small.
+    """
+    mapping = dense_ids(df.select(col), key_col=col, out_col=out_col)
+    cols = list(df.columns)
+    return df.join(mapping, col).select(*cols, out_col)

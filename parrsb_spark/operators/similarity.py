@@ -58,22 +58,35 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     return out
 
 
-def lsh_signatures(vecs: DataFrame, n_planes: int = 12, seed: int = 42, id_col: str = "vec_id") -> DataFrame:
-    """(id, bucket) — sign-pattern bucket id from random hyperplanes.
-    Vectorized pandas UDF: one matmul per Arrow batch."""
+def signbit_signatures(
+    vecs: DataFrame,
+    n_planes: int = 12,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    dim: int | None = None,
+) -> DataFrame:
+    """(id, sig) — packed sign-pattern (bit p = 1 iff v·plane_p > 0) from
+    deterministic random hyperplanes. Vectorized pandas UDF: one matmul
+    per Arrow batch. Pass `dim` when known to skip the one-row probe job."""
     spark = vecs.sparkSession
-    dim = len(vecs.select("embedding").first()["embedding"])
+    if dim is None:
+        dim = len(vecs.select("embedding").first()["embedding"])
     planes = _hyperplanes(dim, n_planes, seed)
     bplanes = spark.sparkContext.broadcast(planes)
 
     @F.pandas_udf("long")
-    def bucket_udf(emb: pd.Series) -> pd.Series:
+    def sig_udf(emb: pd.Series) -> pd.Series:
         M = np.stack(emb.to_numpy())  # (batch, dim)
         signs = (M @ bplanes.value.T) > 0  # (batch, planes)
         weights = 1 << np.arange(signs.shape[1], dtype=np.int64)
         return pd.Series(signs @ weights)
 
-    return vecs.select(F.col(id_col).alias("id"), bucket_udf("embedding").alias("bucket"))
+    return vecs.select(F.col(id_col).alias("id"), sig_udf("embedding").alias("sig"))
+
+
+def lsh_signatures(vecs: DataFrame, n_planes: int = 12, seed: int = 42, id_col: str = "vec_id") -> DataFrame:
+    """(id, bucket) — single-table bucket id = the packed sign pattern."""
+    return signbit_signatures(vecs, n_planes, seed, id_col).withColumnRenamed("sig", "bucket")
 
 
 def ann_lsh_topk(

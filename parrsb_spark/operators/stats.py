@@ -18,9 +18,10 @@ Engine semantics over an edge DF + part map:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from parrsb_spark.functions.ids import dense_ids
 from parrsb_spark.functions.spmv import symmetrize
 from parrsb_spark.sources.edges import vertices_from_edges
 
@@ -66,17 +67,21 @@ def partition_sizes(parts: DataFrame) -> DataFrame:
 
 
 def block_partition(vertices_or_edges: DataFrame, k: int) -> DataFrame:
-    """Contiguous ⌈n/k⌉ blocks by vid order — the pre-partition baseline."""
+    """Contiguous ⌈n/k⌉ blocks by vid order — the pre-partition baseline.
+
+    Distributed: ranks come from the scalable range-partitioned numbering
+    (`dense_ids`), not a global no-partition window, so no single-task
+    funnel at scale."""
     verts = (
         vertices_or_edges.select("vid")
         if "vid" in vertices_or_edges.columns
         else vertices_from_edges(vertices_or_edges)
     )
-    w = Window.orderBy("vid")
     n = verts.count()
     block = -(-n // k)  # ceil
-    return verts.withColumn(
-        "part", ((F.row_number().over(w) - 1) / block).cast("long")
+    ranked = dense_ids(verts, key_col="vid", out_col="_rank")
+    return ranked.select(
+        "vid", ((F.col("_rank") - 1) / block).cast("long").alias("part")
     )
 
 

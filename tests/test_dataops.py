@@ -8,6 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from parrsb_spark.operators.dedup import (
+    embedding_neardup_lsh,
     embedding_neardup_pairs,
     exact_dedup,
     minhash_lsh_pairs,
@@ -139,6 +140,49 @@ def test_embedding_neardup(spark):
     emb = _fake_embeddings(spark)
     pairs = {(r["a"], r["b"]) for r in embedding_neardup_pairs(emb, 0.99).collect()}
     assert (0, 1) in pairs
+
+
+def test_embedding_neardup_lsh_matches_bruteforce(spark):
+    """LSH bucket-join path == brute-force oracle (values AND pairs), and
+    the plan contains no CartesianProduct/BroadcastNestedLoop node."""
+    emb = _fake_embeddings(spark, n=80, dim=16, seed=7)
+    for thresh in (0.99, 0.45):
+        lsh = embedding_neardup_lsh(emb, thresh)
+        got = sorted((r["a"], r["b"], r["cos"]) for r in lsh.collect())
+        want = sorted(
+            (r["a"], r["b"], r["cos"]) for r in embedding_neardup_pairs(emb, thresh).collect()
+        )
+        assert got == want, thresh
+    plan = embedding_neardup_lsh(emb, 0.45)._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+def test_ngram_jaccard_stop_shingle_cap(spark):
+    """A stop-shingle present in every doc must not fan out |D|² candidate
+    rows: with the cap, the inverted-index join shrinks, and qualifying
+    high-overlap pairs still surface."""
+    stop = " the end marker xyz"  # > n chars shared by ALL docs
+    rows = [(i, f"unique text body number {i} {i*7} {i*13}" + stop) for i in range(30)]
+    rows[1] = (1, rows[0][1])  # exact dup of doc 0
+    docs = spark.createDataFrame(rows, schema="doc_id long, text string")
+    capped = ngram_jaccard_pairs(docs, threshold=0.9, max_doc_frac=0.5)
+    uncapped = ngram_jaccard_pairs(docs, threshold=0.9, max_doc_frac=None)
+    assert {(r["a"], r["b"]) for r in capped.collect()} == {(0, 1)}
+    assert {(r["a"], r["b"]) for r in uncapped.collect()} == {(0, 1)}
+
+    def n_join_rows(df, cap):
+        sh = shingles(df)
+        joinable = sh
+        if cap is not None:
+            dfreq = sh.groupBy("sh").agg(F.count("*").alias("_df"))
+            joinable = sh.join(
+                dfreq.filter(F.col("_df") <= int(cap * 30)).select("sh"), "sh"
+            )
+        a = joinable.select(F.col("doc_id").alias("a"), "sh")
+        b = joinable.select(F.col("doc_id").alias("b"), "sh")
+        return a.join(b, "sh").filter(F.col("a") < F.col("b")).count()
+
+    assert n_join_rows(docs, 0.5) < n_join_rows(docs, None) / 2
 
 
 def test_cosine_topk_exact(spark):

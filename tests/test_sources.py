@@ -4,7 +4,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from parrsb_spark import graphs
-from parrsb_spark.functions.ids import dense_ids, dense_ids_scalable
+from parrsb_spark.functions.ids import dense_ids, dense_ids_window
 from parrsb_spark.sources.edges import edges_from_pages, links_from_pages
 from parrsb_spark.sources.extract import extract_links_py, extract_text_py
 from parrsb_spark.sources.pages import page_html, page_links, page_url, synth_pages
@@ -15,7 +15,7 @@ def test_dense_ids_both_impls_agree(spark):
         [(f"u{i % 37}",) for i in range(500)], schema="url string"
     )
     a = {r["url"]: r["vid"] for r in dense_ids(keys).collect()}
-    b = {r["url"]: r["vid"] for r in dense_ids_scalable(keys).collect()}
+    b = {r["url"]: r["vid"] for r in dense_ids_window(keys).collect()}
     assert a == b
     assert sorted(a.values()) == list(range(1, 38))
     # dense, 1-based, ordered by key (reference dense-id contract)
