@@ -28,6 +28,10 @@ class EngineOptions:
     rsb_max_passes: int = 50      # restart passes
     rsb_tol: float = 1e-5         # convergence tolerance
     rsb_mg_factor: int = 2        # multigrid coarsening factor (RQI path)
+    spmv_impl: str = "join"       # join | block | csr_arrow — Laplacian-apply
+                                  # physical plan (block = pre-blocked edges +
+                                  # halo join; csr_arrow = per-block Arrow/numpy,
+                                  # ref mat.c:829-846 — see functions/spmv.py)
 
     # --- Spark-specific knobs (no reference analogue) ---
     shuffle_partitions: int = 32

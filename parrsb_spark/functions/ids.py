@@ -38,14 +38,20 @@ def dense_ids_window(keys: DataFrame, key_col: str = "url", out_col: str = "vid"
     return keys.select(key_col).distinct().withColumn(out_col, F.row_number().over(w))
 
 
-def dense_ids_scalable(keys: DataFrame, key_col: str = "url", out_col: str = "vid") -> DataFrame:
+def dense_ids_scalable(
+    keys: DataFrame,
+    key_col: str | list[str] = "url",
+    out_col: str = "vid",
+) -> DataFrame:
     """Same contract, no single-partition sort: sort-partition the distinct
     keys by range, number within partitions, then add per-partition offsets
     (the comm_scan analogue, ref /root/reference/src/parrsb.c:108).
+    `key_col` may be a list for lexicographic composite-key ordering.
     """
-    distinct = keys.select(key_col).distinct().repartitionByRange(F.col(key_col))
+    key_cols = [key_col] if isinstance(key_col, str) else list(key_col)
+    distinct = keys.select(*key_cols).distinct().repartitionByRange(*[F.col(c) for c in key_cols])
     with_part = distinct.withColumn("_pid", F.spark_partition_id())
-    w_in = Window.partitionBy("_pid").orderBy(key_col)
+    w_in = Window.partitionBy("_pid").orderBy(*key_cols)
     numbered = with_part.withColumn("_local", F.row_number().over(w_in))
     # per-partition counts → prefix offsets (tiny: one row per partition)
     counts = numbered.groupBy("_pid").agg(F.max("_local").alias("_cnt"))
@@ -53,5 +59,5 @@ def dense_ids_scalable(keys: DataFrame, key_col: str = "url", out_col: str = "vi
     offsets = counts.withColumn("_off", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)))
     return (
         numbered.join(F.broadcast(offsets.select("_pid", "_off")), "_pid")
-        .select(key_col, (F.col("_local") + F.col("_off")).alias(out_col))
+        .select(*key_cols, (F.col("_local") + F.col("_off")).alias(out_col))
     )

@@ -16,9 +16,15 @@ gather-scatter serves every group at once; per-group scalars
 single groupBy('grp') aggregation per step. Total shuffle rounds per
 RSB level are therefore independent of the number of groups.
 
-Per iteration:  1 gather-scatter (join + groupBy) + 2 scalar aggs +
-1 eager localCheckpoint (plan-growth control, mandatory in iterative
-Spark). Tridiagonal eigensolve = numpy on the driver (m ≤ 50, the
+Per iteration: 1 gather-scatter (join + groupBy) + ONE scalar
+aggregation collect (the single comm_allreduce analogue) + 1 lazy
+localCheckpoint (materialized by the same collect job — one Spark job
+per iteration). Per-group scalars re-enter the plan as LITERAL map
+expressions (no broadcast-join round-trips), and the Krylov basis
+accumulates as ONE array column in the vertex state (no per-iteration
+basis DataFrames — memory is bounded by a single vertex-state table,
+and recombination is a zip_with dot product instead of an m-way union).
+Tridiagonal eigensolve = numpy on the driver (m ≤ 50, the
 replicated-serial-TQLI analogue of ref fiedler.c:537).
 """
 
@@ -40,6 +46,27 @@ _EPS = 1e-30
 
 def _scalars_df(spark, rows, schema):
     return F.broadcast(spark.createDataFrame(rows, schema=schema))
+
+
+def _lit_map(d: dict) -> "F.Column":
+    """Per-group scalar as a LITERAL map expression (grp → value).
+
+    Replaces the broadcast-join of a tiny scalars DataFrame: a literal
+    map lookup is pure codegen — zero exchanges, zero broadcast
+    round-trips per iteration. Fine for ≤ thousands of groups (map
+    literals live in the plan); the comm_allreduce-result analogue."""
+    args = []
+    for k in sorted(d):
+        args += [F.lit(int(k)), F.lit(float(d[k]))]
+    return F.create_map(*args)
+
+
+def _lit_arr_map(d: dict) -> "F.Column":
+    """grp → array<double> literal map (per-group weight vectors)."""
+    args = []
+    for k in sorted(d):
+        args += [F.lit(int(k)), F.array(*[F.lit(float(v)) for v in d[k]])]
+    return F.create_map(*args)
 
 
 def fiedler(
@@ -85,26 +112,59 @@ def fiedler(
     )
     sizes = {r["grp"]: r["n"] for r in base.groupBy("grp").agg(F.count("*").alias("n")).collect()}
 
+    # physical SpMV strategy (all three cross-validated by tests/test_spectral.py):
+    #   join      — e ⋈ state + map-side-combined groupBy (default; the
+    #               Catalyst plan is already the distributed-CSR dataflow:
+    #               edges static & cached, combiner local)
+    #   block     — edges pre-partitioned into dst blocks once + halo join
+    #               (ref par_csr_init, src/laplacian.c:68-91), JVM aggregate
+    #   csr_arrow — same blocks, per-block numpy multiply via Arrow cogroup
+    #               (ref mat_vec_csr, src/mat.c:829-846); see the measured
+    #               long-loop caveat in functions/spmv.py
+    eblk = halo = None
+    if opts.spmv_impl in ("block", "csr", "csr_arrow"):
+        from parrsb_spark.functions.spmv import (
+            csr_block_setup,
+            spmv_block_gather,
+            spmv_csr_gather,
+        )
+
+        eblk, halo = csr_block_setup(e, n_shuffle)
+        gather = spmv_csr_gather if opts.spmv_impl == "csr_arrow" else spmv_block_gather
+
+        def spmv_fn(state: DataFrame, col: str) -> DataFrame:
+            gathered = gather(eblk, halo, state, col)
+            return (
+                state.join(gathered, "vid", "left")
+                .withColumn("_Lq", F.col("deg") * F.col(col) - F.coalesce("_g", F.lit(0.0)))
+                .drop("_g")
+            )
+
+    else:
+
+        def spmv_fn(state: DataFrame, col: str) -> DataFrame:
+            return _spmv(e, state, col)
+
     # ---- deterministic init (ref fiedler.c:574-578): rank within group,
     # +1000*n for the first half — a seeded, reproducible split direction.
     w_rank = Window.partitionBy("grp").orderBy("vid")
     init = base.withColumn("r", F.row_number().over(w_rank))
-    n_map = _scalars_df(spark, [(int(g), int(n)) for g, n in sizes.items()], "grp long, n long")
-    init = init.join(n_map, "grp").withColumn(
+    n_col = _lit_map({g: float(n) for g, n in sizes.items()})[F.col("grp")]
+    init = init.withColumn(
         "x",
         F.col("r").cast("double")
-        + F.when(F.col("r") <= F.col("n") / 2, 1000.0 * F.col("n")).otherwise(0.0),
+        + F.when(F.col("r") <= n_col / 2, 1000.0 * n_col).otherwise(0.0),
     ).select("vid", "grp", "deg", "x")
 
-    state = _orthonormalize(init, "x", "q").withColumn("qprev", F.lit(0.0))
+    state = _fresh_state(_orthonormalize(init, "x", "q"))
     f_df = None
 
     with iterative_conf(spark):
         for pss in range(max(1, opts.rsb_max_passes)):
-            state, alphas, betas, basis = _lanczos_pass(e, state, sizes, opts)
-            f_df = _recombine(spark, basis, alphas, betas, sizes)
+            state, alphas, betas, updates = _lanczos_pass(spmv_fn, state, sizes, opts)
+            f_df = _recombine(spark, state, alphas, betas, sizes, updates)
             # residual check per group: ||L f - lambda f||
-            res = _residuals(e, f_df, spark, alphas, betas, sizes)
+            res = _residuals(spmv_fn, e, f_df)
             if all(r < opts.rsb_tol for r in res.values()):
                 break
             # restart with f as the new initial vector (ref fiedler.c:529)
@@ -112,7 +172,7 @@ def fiedler(
                 base.join(f_df.select("vid", F.col("fiedler").alias("x")), "vid", "left")
                 .select("vid", "grp", "deg", F.coalesce("x", F.lit(0.0)).alias("x"))
             )
-            state = _orthonormalize(state, "x", "q").withColumn("qprev", F.lit(0.0))
+            state = _fresh_state(_orthonormalize(state, "x", "q"))
 
     out = f_df.select("vid", "grp", "fiedler")
     if sign_fix:
@@ -128,6 +188,9 @@ def fiedler(
         )
     e.unpersist()
     base.unpersist()
+    if eblk is not None:
+        eblk.unpersist()
+        halo.unpersist()
     return out
 
 
@@ -141,18 +204,16 @@ def _orthonormalize(df: DataFrame, in_col: str, out_col: str) -> DataFrame:
         .agg(F.sum(in_col).alias("s"), F.sum(F.col(in_col) ** 2).alias("ss"), F.count("*").alias("n"))
         .collect()
     )
-    rows = []
+    mu_d, nrm_d = {}, {}
     for r in stats:
         mu = float(r["s"] / r["n"])
         nrm2 = float(r["ss"]) - r["n"] * mu * mu
-        nrm = math.sqrt(nrm2) if nrm2 > _EPS else 1.0
-        rows.append((int(r["grp"]), mu, nrm))
-    sc = _scalars_df(spark, rows, "grp long, mu double, nrm double")
-    return (
-        df.join(sc, "grp")
-        .withColumn(out_col, (F.col(in_col) - F.col("mu")) / F.col("nrm"))
-        .drop("mu", "nrm", in_col)
-    )
+        mu_d[int(r["grp"])] = mu
+        nrm_d[int(r["grp"])] = math.sqrt(nrm2) if nrm2 > _EPS else 1.0
+    grp = F.col("grp")
+    return df.withColumn(
+        out_col, (F.col(in_col) - _lit_map(mu_d)[grp]) / _lit_map(nrm_d)[grp]
+    ).drop(in_col)
 
 
 def _spmv(e: DataFrame, state: DataFrame, col: str) -> DataFrame:
@@ -170,15 +231,26 @@ def _spmv(e: DataFrame, state: DataFrame, col: str) -> DataFrame:
     )
 
 
-def _lanczos_pass(e, state, sizes, opts):
-    spark = state.sparkSession
+def _fresh_state(st: DataFrame) -> DataFrame:
+    """Attach the per-iteration bookkeeping columns: qprev (previous
+    Lanczos vector), bp (last beta, carried as a column — no broadcast
+    join per iteration), qs (the accumulating Krylov basis as ONE array
+    column — replaces the list-of-m-DataFrames basis, bounding memory
+    to a single vertex-state table and killing the m×P-task union at
+    recombine time)."""
+    return (
+        st.withColumn("qprev", F.lit(0.0))
+        .withColumn("bp", F.lit(0.0))
+        .withColumn("qs", F.array(F.col("q")))
+    )
+
+
+def _lanczos_pass(spmv_fn, state, sizes, opts):
     groups = sorted(sizes)
     alphas: dict[int, list[float]] = {g: [] for g in groups}
     betas: dict[int, list[float]] = {g: [] for g in groups}
+    updates: dict[int, int] = {g: 0 for g in groups}
     active = {g: sizes[g] > 2 for g in groups}
-    basis: list[DataFrame] = [
-        state.select("vid", "grp", F.col("q").alias("qj")).withColumn("j", F.lit(0))
-    ]
     miter = min(opts.rsb_max_iter, max(sizes.values()))
     state = state.localCheckpoint(eager=True)
     # NOTE: in-loop checkpoints below are LAZY — the very next groupBy
@@ -187,13 +259,8 @@ def _lanczos_pass(e, state, sizes, opts):
     for j in range(miter):
         if not any(active.values()):
             break
-        beta_prev = _scalars_df(
-            spark,
-            [(g, betas[g][-1] if betas[g] else 0.0, active[g]) for g in groups],
-            "grp long, bp double, act boolean",
-        )
-        st = _spmv(e, state, "q").join(beta_prev, "grp")
-        st = st.withColumn("w", F.col("_Lq") - F.col("bp") * F.col("qprev")).drop("_Lq", "bp")
+        st = spmv_fn(state, "q")
+        st = st.withColumn("w", F.col("_Lq") - F.col("bp") * F.col("qprev")).drop("_Lq")
         # ONE reduction per iteration (the single comm_allreduce analogue):
         # alpha = <w,q>;  mu = Σw/n (ones-deflation, since Σq = 0);
         # beta² = ||w − αq − mu||² = <w,w> − α² − n·mu²  (q unit, q ⟂ 1).
@@ -208,7 +275,7 @@ def _lanczos_pass(e, state, sizes, opts):
             )
             .collect()
         }
-        b_rows = {}
+        alpha_d, mu_d, beta_d, upd_d = {}, {}, {}, {}
         for g in groups:
             r = a_rows[g]
             a = float(r["a"] or 0.0)
@@ -220,43 +287,34 @@ def _lanczos_pass(e, state, sizes, opts):
             # direction — treat as converged (the reference's tiny-beta stop)
             if b2 <= 1e-13 * max(dww, 1e-30):
                 b2 = 0.0
-            b_rows[g] = math.sqrt(b2) if b2 > 0 else 0.0
-        for g in groups:
+            b = math.sqrt(b2) if b2 > 0 else 0.0
             if active[g]:
-                alphas[g].append(float(a_rows[g]["a"] or 0.0))
-        # one combined per-group scalar row: (alpha, mu, beta, act2)
-        sc_rows = []
-        newly_done = set()
-        for g in groups:
-            r = a_rows[g]
-            a = float(r["a"] or 0.0)
-            mu = float((r["sw"] or 0.0) / r["n"])
-            b = b_rows.get(g, 0.0)
+                alphas[g].append(a)
             if active[g] and b > 1e-10 and len(alphas[g]) < sizes[g]:
                 betas[g].append(b)
-                sc_rows.append((g, a, mu, b, True))
+                alpha_d[g], mu_d[g], beta_d[g], upd_d[g] = a, mu, b, 1.0
+                updates[g] += 1
             else:
-                if active[g]:
-                    newly_done.add(g)
-                sc_rows.append((g, a, mu, 1.0, False))
-        sc = _scalars_df(spark, sc_rows, "grp long, alpha double, mu double, beta double, act2 boolean")
-        st = st.join(sc, "grp").withColumn(
-            "w2", F.col("w") - F.col("alpha") * F.col("q") - F.col("mu")
-        )
+                active[g] = False
+                alpha_d[g], mu_d[g], beta_d[g], upd_d[g] = a, mu, 1.0, 0.0
+        # per-group scalars as LITERAL map lookups — pure codegen, no
+        # broadcast-join round-trip per iteration (the comm_allreduce
+        # result is baked into the next plan, like the reference bakes
+        # alpha/beta into rank-local arrays, ref fiedler.c:473-506)
+        grp = F.col("grp")
+        updc = _lit_map(upd_d)[grp] > 0.5
+        w2 = F.col("w") - _lit_map(alpha_d)[grp] * F.col("q") - _lit_map(mu_d)[grp]
+        new_q = F.when(updc, w2 / _lit_map(beta_d)[grp]).otherwise(F.col("q"))
         state = st.select(
             "vid",
             "grp",
             "deg",
-            F.when(F.col("act2") & F.col("act"), F.col("w2") / F.col("beta")).otherwise(F.col("q")).alias("q"),
-            F.when(F.col("act2") & F.col("act"), F.col("q")).otherwise(F.col("qprev")).alias("qprev"),
+            new_q.alias("q"),
+            F.when(updc, F.col("q")).otherwise(F.col("qprev")).alias("qprev"),
+            F.when(updc, _lit_map(beta_d)[grp]).otherwise(F.col("bp")).alias("bp"),
+            F.when(updc, F.concat(F.col("qs"), F.array(new_q))).otherwise(F.col("qs")).alias("qs"),
         ).localCheckpoint(eager=False)
-        for g in newly_done:
-            active[g] = False
-        if any(active[g] for g in groups):
-            basis.append(
-                state.select("vid", "grp", F.col("q").alias("qj")).withColumn("j", F.lit(j + 1))
-            )
-    return state, alphas, betas, basis
+    return state, alphas, betas, updates
 
 
 def _tridiag_small_eig(alpha: list[float], beta: list[float]) -> tuple[float, np.ndarray]:
@@ -272,41 +330,44 @@ def _tridiag_small_eig(alpha: list[float], beta: list[float]) -> tuple[float, np
     return float(vals[0]), vecs[:, 0]
 
 
-def _recombine(spark, basis, alphas, betas, sizes) -> DataFrame:
+def _recombine(spark, state, alphas, betas, sizes, updates) -> DataFrame:
     """fiedler = Σ_j evec[j]·q_j per group (ref fiedler.c:513-561), then
-    per-group unit normalization."""
-    weights = []
+    per-group unit normalization.
+
+    The basis lives in state's `qs` array column, so recombination is one
+    zip_with dot product against a per-group literal weight vector — no
+    m-way union, no (m·partitions)-task stage, no per-vertex groupBy."""
+    weights = {}
     for g in sorted(sizes):
         a, b = alphas[g], betas[g][: max(0, len(alphas[g]) - 1)]
         if not a:
-            weights.append((g, 0, 1.0))
-            continue
-        _, u = _tridiag_small_eig(a, b)
-        for j, wj in enumerate(u):
-            weights.append((g, j, float(wj)))
-    wdf = _scalars_df(spark, weights, "grp long, j int, wj double")
-    allq = basis[0]
-    for q in basis[1:]:
-        allq = allq.union(q)
-    f = (
-        allq.join(wdf, ["grp", "j"])
-        .groupBy("vid", "grp")
-        .agg(F.sum(F.col("qj") * F.col("wj")).alias("f_raw"))
+            w = [1.0]
+        else:
+            _, u = _tridiag_small_eig(a, b)
+            w = [float(x) for x in u]
+        qlen = 1 + updates.get(g, 0)
+        # qs holds q_0..q_{updates}; the eigvec has len(alphas) ≤ updates+1
+        # entries — zero-pad so zip_with never null-pads
+        weights[g] = (w + [0.0] * qlen)[:qlen]
+    wvec = _lit_arr_map(weights)[F.col("grp")]
+    f = state.select(
+        "vid",
+        "grp",
+        F.aggregate(
+            F.zip_with("qs", wvec, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        ).alias("f_raw"),
     )
     norms = f.groupBy("grp").agg(F.sqrt(F.sum(F.col("f_raw") ** 2)).alias("nrm")).collect()
-    nrm = _scalars_df(
-        spark,
-        [(int(r["grp"]), float(r["nrm"]) if r["nrm"] and r["nrm"] > _EPS else 1.0) for r in norms],
-        "grp long, nrm double",
+    nmap = _lit_map(
+        {int(r["grp"]): (float(r["nrm"]) if r["nrm"] and r["nrm"] > _EPS else 1.0) for r in norms}
     )
     return (
-        f.join(nrm, "grp")
-        .select("vid", "grp", (F.col("f_raw") / F.col("nrm")).alias("fiedler"))
+        f.select("vid", "grp", (F.col("f_raw") / nmap[F.col("grp")]).alias("fiedler"))
         .localCheckpoint(eager=True)
     )
 
 
-def _residuals(e, f_df, spark, alphas, betas, sizes) -> dict[int, float]:
+def _residuals(spmv_fn, e, f_df) -> dict[int, float]:
     """Per-group ||L f − λ f||₂ with λ = Rayleigh quotient fᵀLf (f unit).
     The convergence gate of ref check_rsb_partition (src/rsb.c:61-111)."""
     st = f_df.select("vid", "grp", F.col("fiedler").alias("q"))
@@ -314,7 +375,7 @@ def _residuals(e, f_df, spark, alphas, betas, sizes) -> dict[int, float]:
         e.groupBy(F.col("src").alias("vid")).agg(F.count("*").alias("deg"))
     )
     st = st.join(deg, "vid", "left").withColumn("deg", F.coalesce("deg", F.lit(0)).cast("double"))
-    lf = _spmv(e, st, "q")
+    lf = spmv_fn(st, "q")
     rows = (
         lf.groupBy("grp")
         .agg(

@@ -41,14 +41,29 @@ def rsb_partition(
     vertices: DataFrame | None = None,
     check_components: bool = False,
     lineage=None,
+    seed_parts: DataFrame | None = None,
 ) -> DataFrame:
     """Returns (vid, part) with part ∈ [0, k) and |part sizes| within ±1 of
-    each other along every bisection (reference balance contract)."""
+    each other along every bisection (reference balance contract).
+
+    `seed_parts` = (vid, part) optional initial grouping: each seed group
+    is partitioned into k pieces INDEPENDENTLY but CONCURRENTLY — all
+    groups ride the same grouped-Lanczos DataFrame loop, so shuffle
+    rounds per cut are constant in the number of seed groups (the
+    tagged-partitioning driver uses this with part = dense tag index;
+    the reference routes each tag to a comm_split process block instead,
+    ref src/parrsb.c:379-561). Output parts are globally unique:
+    seed_group_rank * k + local_part."""
     opts = opts or default_options()
     spark = edges.sparkSession
-    verts = (vertices or vertices_from_edges(edges)).select("vid")
-    state = verts.withColumn("part", F.lit(0).cast("long"))
-    np_of: dict[int, int] = {0: k}
+    if seed_parts is not None:
+        state = seed_parts.select("vid", F.col("part").cast("long"))
+        groups = sorted(r["part"] for r in state.select("part").distinct().collect())
+        np_of: dict[int, int] = {int(g): k for g in groups}
+    else:
+        verts = (vertices or vertices_from_edges(edges)).select("vid")
+        state = verts.withColumn("part", F.lit(0).cast("long"))
+        np_of = {0: k}
     cut = 0
 
     while any(v > 1 for v in np_of.values()):

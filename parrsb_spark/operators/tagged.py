@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from parrsb_spark.config import EngineOptions, default_options
+from parrsb_spark.functions.ids import dense_ids_scalable
 from parrsb_spark.functions.spmv import symmetrize
 
 
@@ -43,41 +44,59 @@ def rsb_partition_tagged(
     mapping = F.broadcast(
         spark.createDataFrame([(t, i) for t, i in tag_idx.items()], ["tag", "tidx"])
     )
-    tagged = tags.join(mapping, "tag").select("vid", "tidx")
-    # intra-tag edges only (the reference asserts tags partition the mesh)
-    t_src = tagged.select(F.col("vid").alias("src"), F.col("tidx").alias("t1"))
-    t_dst = tagged.select(F.col("vid").alias("dst"), F.col("tidx").alias("t2"))
-    intra = (
-        edges.join(t_src, "src").join(t_dst, "dst").filter(F.col("t1") == F.col("t2")).select("src", "dst")
-    )
-    out = None
-    for t, i in sorted(tag_idx.items(), key=lambda kv: kv[1]):
-        verts = tagged.filter(F.col("tidx") == i).select("vid")
-        sub = intra.join(verts.withColumnRenamed("vid", "src"), "src", "left_semi")
-        parts = rsb_partition(sub, parts_per_tag, opts=opts, vertices=verts)
-        piece = parts.select("vid", (F.col("part") + i * parts_per_tag).alias("part"))
-        out = piece if out is None else out.union(piece)
-    return out
+    seed = tags.join(mapping, "tag").select("vid", F.col("tidx").alias("part"))
+    # Every tag rides the SAME grouped-Lanczos loop concurrently: the seed
+    # group column makes fiedler() treat each tag as an independent
+    # block-diagonal subgraph (cross-tag edges are dropped inside fiedler),
+    # and the number of Spark stages per cut is constant in the tag count.
+    # Leaf remap inside rsb_partition yields part = tidx * parts_per_tag +
+    # local (the reference's local→global mapping, ref src/parrsb.c:528-541).
+    return rsb_partition(edges, parts_per_tag, opts=opts, seed_parts=seed)
 
 
 def check_tagged_partitions(edges: DataFrame, tags: DataFrame) -> DataFrame:
     """E9 invariant (ref parrsb_check_tagged_partitions, src/parrsb.c:292-377):
-    returns tag pairs whose cross-tag edge counts are asymmetric — empty
-    DataFrame = invariant holds (layers have identical connectivity
-    footprints)."""
+    layers (tags) must have IDENTICAL connectivity footprints. The
+    reference ranks elements within each layer (input sorted by element
+    id, asserted at :298-316), computes each vertex slot's within-layer
+    multiplicity via a layer-local gs handle (:340-348), then gs-min/max
+    across layers at the same within-layer rank and asserts min == max
+    (:352-367).
+
+    Graph analogue: rank vertices within each tag by vid (the sortedness
+    precondition — layered inputs align positionally), compute each
+    vertex's INTRA-tag degree (the within-layer multiplicity), and
+    compare min/max degree across tags at every rank. Returns
+    (rank, min_deg, max_deg, n_layers) rows where the invariant FAILS
+    (degree mismatch, or a rank missing from some layer because layer
+    sizes differ) — empty DataFrame = invariant holds."""
     t = tags.select("vid", "tag")
+    ntags = t.select("tag").distinct().count()
+    # within-tag rank, distributed (comm_scan analogue — no global window)
+    ranked = dense_ids_scalable(t, key_col=["tag", "vid"], out_col="_g")
+    offs = ranked.groupBy("tag").agg(F.min("_g").alias("_off"))
+    within = ranked.join(offs, "tag").select(
+        "tag", "vid", (F.col("_g") - F.col("_off") + 1).alias("rank")
+    )
+    # intra-tag degree = within-layer vertex multiplicity
     sym = symmetrize(edges)
-    x = (
+    intra_deg = (
         sym.join(t.withColumnRenamed("vid", "src").withColumnRenamed("tag", "tag1"), "src")
         .join(t.withColumnRenamed("vid", "dst").withColumnRenamed("tag", "tag2"), "dst")
-        .filter(F.col("tag1") != F.col("tag2"))
-        .groupBy("tag1", "tag2")
-        .agg(F.count("*").alias("n12"))
+        .filter(F.col("tag1") == F.col("tag2"))
+        .groupBy(F.col("src").alias("vid"), F.col("tag1").alias("tag"))
+        .agg(F.count("*").alias("deg"))
     )
-    y = x.select(F.col("tag2").alias("tag1"), F.col("tag1").alias("tag2"), F.col("n12").alias("n21"))
-    return (
-        x.join(y, ["tag1", "tag2"], "full")
-        .filter(F.coalesce("n12", F.lit(0)) != F.coalesce("n21", F.lit(0)))
+    per_vertex = within.join(intra_deg, ["vid", "tag"], "left").select(
+        "rank", F.coalesce("deg", F.lit(0)).alias("deg")
+    )
+    per_rank = per_vertex.groupBy("rank").agg(
+        F.min("deg").alias("min_deg"),
+        F.max("deg").alias("max_deg"),
+        F.count("*").alias("n_layers"),
+    )
+    return per_rank.filter(
+        (F.col("min_deg") != F.col("max_deg")) | (F.col("n_layers") != F.lit(ntags))
     )
 
 

@@ -139,7 +139,17 @@ def pagerank_resumable(
         start_iter = 0
         ranks = state0.withColumn("pr", F.lit(1.0 / n))
     for it in range(start_iter, total_iters):
-        dangling = ranks.filter(F.col("outdeg") == 0).agg(F.sum("pr")).collect()[0][0] or 0.0
+        # dangling mass stays cluster-side as a broadcast 1-row aggregate
+        # (same pattern as operators/pagerank.py — no driver collect per
+        # iteration, so non-snapshot iterations chain lazily into the
+        # snapshot job)
+        dang = F.broadcast(
+            ranks.agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("outdeg") == 0, F.col("pr"))), F.lit(0.0)
+                ).alias("_dang")
+            )
+        )
         contribs = (
             e.join(
                 ranks.filter(F.col("outdeg") > 0).select(
@@ -150,9 +160,17 @@ def pagerank_resumable(
             .groupBy(F.col("dst").alias("vid"))
             .agg(F.sum("c").alias("g"))
         )
-        base = (1.0 - damping) / n + damping * dangling / n
-        ranks = ranks.join(contribs, "vid", "left").select(
-            "vid", "outdeg", (F.lit(base) + damping * F.coalesce("g", F.lit(0.0))).alias("pr")
+        ranks = (
+            ranks.join(contribs, "vid", "left")
+            .crossJoin(dang)
+            .select(
+                "vid",
+                "outdeg",
+                (
+                    (F.lit(1.0 - damping) + F.lit(damping) * F.col("_dang")) / F.lit(float(n))
+                    + F.lit(damping) * F.coalesce("g", F.lit(0.0))
+                ).alias("pr"),
+            )
         )
         if (it + 1) % snapshot_every == 0 or it == total_iters - 1:
             ranks = checkpoint_state(ranks, log, "pagerank", it)

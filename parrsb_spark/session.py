@@ -63,11 +63,24 @@ def iterative_conf(spark: SparkSession):
     idles executors (measured 2x slowdown at 8 executors on a 16M-edge
     graph). Inside iterative loops we keep AQE (skew-join splitting is
     still valuable) but disable coalescing; restored on exit.
+
+    Constraint propagation is also disabled: Catalyst's constraint
+    inference is super-linear in chained join/alias depth, and per-
+    iteration localCheckpoint plans re-derive constraints every loop —
+    measured as a DRIVER-side hang (>20 min at 100% on one core in
+    LogicalRDD.rewriteStatsAndConstraints) for the CSR-SpMV Lanczos at
+    sf0.1. Constraints only power optimizations (extra filters/join
+    pruning) that per-iteration kernel plans don't need.
     """
-    key = "spark.sql.adaptive.coalescePartitions.enabled"
-    old = spark.conf.get(key, "true")
-    spark.conf.set(key, "false")
+    keys = {
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.constraintPropagation.enabled": "false",
+    }
+    old = {k: spark.conf.get(k, "true") for k in keys}
+    for k, v in keys.items():
+        spark.conf.set(k, v)
     try:
         yield
     finally:
-        spark.conf.set(key, old)
+        for k, v in old.items():
+            spark.conf.set(k, v)

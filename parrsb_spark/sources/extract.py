@@ -41,9 +41,11 @@ def canonicalize_url(url: str) -> str:
     slash, fragment, scheme-case all collapse to one canonical key."""
     url = url.strip()
     if "#" in url:
-        url = url[: url.index("#")]
+        # dropping the fragment can expose trailing whitespace ("x #y")
+        url = url[: url.index("#")].rstrip()
     if url.endswith("/"):
-        url = url[:-1]
+        # dropping the slash can expose trailing whitespace ("x /")
+        url = url[:-1].rstrip()
     scheme, sep, rest = url.partition("://")
     if not sep:
         return url

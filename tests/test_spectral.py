@@ -41,6 +41,22 @@ def test_fiedler_allclose_1e6(spark, name, edges):
         assert abs(got[v] - exp[v]) < 1e-6, (name, v, got[v], exp[v])
 
 
+@pytest.mark.parametrize("impl", ["block", "csr_arrow"])
+def test_fiedler_spmv_impls_allclose(spark, impl):
+    """D3/D5 cross-validation (the reference's dual-impl pattern,
+    mat_vec_csr vs gs form): every physical SpMV strategy must reproduce
+    the numpy eigenvector to 1e-6."""
+    edges = graphs.grid2d(4, 3)[0]
+    df = graphs.to_df(spark, edges)
+    got = {
+        r["vid"]: r["fiedler"]
+        for r in fiedler(df, opts=_opts(spmv_impl=impl)).collect()
+    }
+    exp, _ = fiedler_np(edges)
+    for v in exp:
+        assert abs(got[v] - exp[v]) < 1e-6, (impl, v)
+
+
 def test_rsb_cuts_the_bridge(spark):
     """Bisection of two cliques + bridge must cut exactly the bridge."""
     edges = graphs.two_cliques_bridge(8)

@@ -34,14 +34,74 @@ def test_rsb_partition_tagged(spark):
     assert sizes == [8, 8, 8, 8]
 
 
-def test_check_tagged_partitions_symmetric(spark):
+def test_check_tagged_partitions_identical_layers_pass(spark):
+    """Two identical 3×3 grid layers → per-rank degree footprints equal →
+    invariant holds (empty result). Ref parrsb_check_tagged_partitions."""
     edges = graphs.two_components(3, 3)
     df = graphs.to_df(spark, edges)
     tags = spark.createDataFrame(
         [(v, "a" if v <= 9 else "b") for v in range(1, 19)], ["vid", "tag"]
     )
-    # disjoint tags → no cross-tag edges → invariant holds trivially
     assert check_tagged_partitions(df, tags).count() == 0
+
+
+def test_check_tagged_partitions_fires_on_violation(spark):
+    """NEGATIVE: layer a = 3×3 grid (corner deg 2, center deg 4), layer b =
+    9-ring (all deg 2) — same sizes, different footprints → must fire."""
+    grid, _ = graphs.grid2d(3, 3)  # vids 1..9
+    ring = [(u + 9, v + 9) for u, v in graphs.ring(9)]  # vids 10..18
+    df = graphs.to_df(spark, grid + ring)
+    tags = spark.createDataFrame(
+        [(v, "a" if v <= 9 else "b") for v in range(1, 19)], ["vid", "tag"]
+    )
+    bad = check_tagged_partitions(df, tags).collect()
+    assert len(bad) > 0
+    assert any(r["min_deg"] != r["max_deg"] for r in bad)
+
+
+def test_check_tagged_partitions_fires_on_size_mismatch(spark):
+    """NEGATIVE: layers of different vertex counts → trailing ranks exist in
+    one layer only → n_layers < ntags fires."""
+    grid, _ = graphs.grid2d(3, 3)
+    df = graphs.to_df(spark, grid)
+    tags = spark.createDataFrame(
+        [(v, "a") for v in range(1, 10)] + [(100, "b"), (101, "b")], ["vid", "tag"]
+    )
+    bad = check_tagged_partitions(df, tags).collect()
+    assert any(r["n_layers"] == 1 for r in bad)
+
+
+def test_rsb_partition_tagged_constant_stages_per_tagcount(spark):
+    """The grouped driver must NOT loop tags on the driver: the Spark job
+    count for 4 identical tag layers stays within ~1.25× of 2 layers
+    (grouped Lanczos — stage count independent of group count)."""
+    sc = spark.sparkContext
+
+    def run(n_layers, group):
+        grid, _ = graphs.grid2d(3, 3)
+        all_edges = []
+        rows = []
+        for i in range(n_layers):
+            all_edges += [(u + 9 * i, v + 9 * i) for u, v in grid]
+            rows += [(v + 9 * i, f"t{i}") for v in range(1, 10)]
+        df = graphs.to_df(spark, all_edges)
+        tags = spark.createDataFrame(rows, ["vid", "tag"])
+        sc.setJobGroup(group, group)
+        try:
+            out = rsb_partition_tagged(df, tags, parts_per_tag=2, opts=_opts())
+            got = {r["vid"]: r["part"] for r in out.collect()}
+        finally:
+            sc.setJobGroup(None, None)
+        # contract: tag i ends up in parts {2i, 2i+1}, balanced 4/5 split
+        for i in range(n_layers):
+            ps = [got[v + 9 * i] for v in range(1, 10)]
+            assert set(ps) == {2 * i, 2 * i + 1}
+            assert sorted((ps.count(2 * i), ps.count(2 * i + 1))) == [4, 5]
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    jobs2 = run(2, "tagged-probe-2")
+    jobs4 = run(4, "tagged-probe-4")
+    assert jobs4 <= jobs2 * 1.25 + 2, (jobs2, jobs4)
 
 
 def test_assign_solid_majority(spark):

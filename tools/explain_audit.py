@@ -50,6 +50,19 @@ def main():
     m = re.search(r"ReadSchema: ([^\n]*)", p2)
     if m and ("lang" in m.group(1) or "source" in m.group(1)):
         failures.append("docs_token_count: unused columns not pruned")
+    # no single-partition Exchange (the driver-funnel scale-killer) in the
+    # dense-numbering paths: a global no-partition Window would show up as
+    # Exchange SinglePartition feeding a Sort+Window
+    for qname in ("pages_edges", "graph_cc_dense", "emb_neardup"):
+        qdf = qs[qname](spark, sf_dir)
+        qp = qdf._sc._jvm.PythonSQLUtils.explainString(qdf._jdf.queryExecution(), "formatted")
+        for i, line in enumerate(qp.splitlines()):
+            if "Exchange SinglePartition" in line and "Window" in qp[qp.index(line):][:2000]:
+                # allow the tiny per-partition-offset scan (input = one row
+                # per shuffle partition), flag anything windowing real rows
+                ctx = qp.splitlines()[max(0, i - 3):i + 6]
+                if not any("_cnt" in c or "_pid" in c for c in ctx):
+                    failures.append(f"{qname}: SinglePartition exchange feeding a Window")
     spark.stop()
     print("AUDIT FAILURES:", failures if failures else "none")
     sys.exit(1 if failures else 0)
