@@ -28,6 +28,9 @@ class EngineOptions:
     rsb_max_passes: int = 50      # restart passes
     rsb_tol: float = 1e-5         # convergence tolerance
     rsb_mg_factor: int = 2        # multigrid coarsening factor (RQI path)
+    mg_tail_threshold: int = 2000  # MG levels below this total size run as a
+                                   # collected numpy tail (driver-side V-cycle
+                                   # continuation; coarse vectors are tiny)
     spmv_impl: str = "join"       # join | block | csr_arrow — Laplacian-apply
                                   # physical plan (block = pre-blocked edges +
                                   # halo join; csr_arrow = per-block Arrow/numpy,

@@ -137,13 +137,14 @@ def spmv_csr_gather(eblk: DataFrame, halo: DataFrame, state: DataFrame, value_co
     Returns (vid, _g) keyed by destination (vertices with no in-edges
     absent — same contract as the join-path gather).
 
-    CAVEAT (measured, this Spark build): chaining a pandas-grouped stage
-    inside a driver loop makes STAGE SUBMISSION latency grow geometrically
-    after ~18 localCheckpointed iterations (active stage sits at 0 running
-    tasks; RDD lineage verified flat, AQE on/off and eager/lazy checkpoint
-    make no difference; the JVM-agg twin `spmv_block_gather` of the exact
-    same dataflow stays flat). Use this path for few-iteration outer loops
-    (RQI) or one-shot applies; use `block`/`join` for long Lanczos runs."""
+    Loop-safety note (measured, root-caused): this plan carries the
+    vertex state on BOTH sides of a join, so a plain localCheckpoint in
+    a driver loop SQUARES the carried Catalyst sizeInBytes estimate each
+    iteration — BigInteger digits double and checkpointing goes
+    geometric after ~18 iterations. The Lanczos loop therefore severs
+    stats with `session.hard_truncate` when this impl is active (cost:
+    one extra exchange per iteration); see that docstring for the full
+    mechanism."""
     import pandas as pd
 
     qv = state.select(F.col("vid").alias("src"), F.col(value_col).alias("_qv"))

@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 
 from parrsb_spark.config import EngineOptions, default_options
 from parrsb_spark.functions.spmv import symmetrize
-from parrsb_spark.session import iterative_conf
+from parrsb_spark.session import hard_truncate as _hard_truncate, iterative_conf
 from parrsb_spark.sources.edges import vertices_from_edges
 
 _EPS = 1e-30
@@ -156,23 +156,32 @@ def fiedler(
         + F.when(F.col("r") <= n_col / 2, 1000.0 * n_col).otherwise(0.0),
     ).select("vid", "grp", "deg", "x")
 
-    state = _fresh_state(_orthonormalize(init, "x", "q"))
+    state0 = _orthonormalize(init, "x", "q")
     f_df = None
 
-    with iterative_conf(spark):
-        for pss in range(max(1, opts.rsb_max_passes)):
-            state, alphas, betas, updates = _lanczos_pass(spmv_fn, state, sizes, opts)
-            f_df = _recombine(spark, state, alphas, betas, sizes, updates)
-            # residual check per group: ||L f - lambda f||
-            res = _residuals(spmv_fn, e, f_df)
-            if all(r < opts.rsb_tol for r in res.values()):
-                break
-            # restart with f as the new initial vector (ref fiedler.c:529)
-            state = (
-                base.join(f_df.select("vid", F.col("fiedler").alias("x")), "vid", "left")
-                .select("vid", "grp", "deg", F.coalesce("x", F.lit(0.0)).alias("x"))
-            )
-            state = _fresh_state(_orthonormalize(state, "x", "q"))
+    if opts.rsb_algo == "inverse":
+        # D9-D11: inverse power iteration with MG-preconditioned projected
+        # CG (ref inverse(), src/fiedler.c:189-321; rsb_algo=1)
+        with iterative_conf(spark):
+            f_df = _inverse_driver(spark, e, base, sizes, opts, state0)
+    elif opts.rsb_algo == "lanczos":
+        state = _fresh_state(state0)
+        with iterative_conf(spark):
+            for pss in range(max(1, opts.rsb_max_passes)):
+                state, alphas, betas, updates = _lanczos_pass(spmv_fn, state, sizes, opts)
+                f_df = _recombine(spark, state, alphas, betas, sizes, updates)
+                # residual check per group: ||L f - lambda f||
+                res = _residuals(spmv_fn, e, f_df)
+                if all(r < opts.rsb_tol for r in res.values()):
+                    break
+                # restart with f as the new initial vector (ref fiedler.c:529)
+                state = (
+                    base.join(f_df.select("vid", F.col("fiedler").alias("x")), "vid", "left")
+                    .select("vid", "grp", "deg", F.coalesce("x", F.lit(0.0)).alias("x"))
+                )
+                state = _fresh_state(_orthonormalize(state, "x", "q"))
+    else:
+        raise ValueError(f"unknown rsb_algo {opts.rsb_algo!r} (lanczos | inverse)")
 
     out = f_df.select("vid", "grp", "fiedler")
     if sign_fix:
@@ -229,6 +238,197 @@ def _spmv(e: DataFrame, state: DataFrame, col: str) -> DataFrame:
         .withColumn("_Lq", F.col("deg") * F.col(col) - F.coalesce("_g", F.lit(0.0)))
         .drop("_g")
     )
+
+
+def _group_scalars(df: DataFrame, exprs: dict) -> dict:
+    """One groupBy('grp') reduction returning {grp: {name: value}} —
+    the comm_allreduce analogue for the inverse/CG path."""
+    aggs = [v.alias(k) for k, v in exprs.items()]
+    out = {}
+    for r in df.groupBy("grp").agg(*aggs).collect():
+        out[int(r["grp"])] = {k: float(r[k] or 0.0) for k in exprs}
+    return out
+
+
+def _ortho_mean(df: DataFrame, col: str) -> DataFrame:
+    """Deflate the constant vector: x ← x − mean_grp(x) (ref ortho,
+    fiedler.c:20-30) via a literal-map lookup."""
+    mu = _group_scalars(df, {"s": F.sum(col), "n": F.count(F.lit(1))})
+    mu_d = {g: (v["s"] / v["n"] if v["n"] else 0.0) for g, v in mu.items()}
+    return df.withColumn(col, F.col(col) - _lit_map(mu_d)[F.col("grp")])
+
+
+def _inverse_driver(spark, e, base, sizes, opts, state0) -> DataFrame:
+    """Inverse power iteration: repeatedly solve L y = z with a
+    multigrid-preconditioned projected (flexible) CG, normalize, and
+    re-orthogonalize against ones (ref inverse(), src/fiedler.c:189-321;
+    CG = project(), :96-186; preconditioner = mg_vcycle). Stops when the
+    CG solve converges in one iteration (the reference's ppfi == 1 stop)
+    or after rsb_max_passes.
+
+    Divergence from the reference: the full W/P Gram re-orthogonalization
+    of the CG search direction (project(), fiedler.c:170-180) is omitted —
+    flexible PCG with the Polak-Ribière beta (rz2/rzt, :163) is stable for
+    these SPD-on-1⊥ systems; and the optional grammian refinement
+    (fiedler.c:250-305, default-off upstream) is not implemented."""
+    from parrsb_spark.functions.ids import dense_ids_scalable
+    from parrsb_spark.operators.multigrid import mg_setup, mg_vcycle
+
+    # contiguous 1-based per-group row ids (comm_scan numbering analogue)
+    ranked = dense_ids_scalable(base.select("grp", "vid"), ["grp", "vid"], "_g")
+    offs = ranked.groupBy("grp").agg((F.min("_g") - 1).alias("_off"))
+    ridmap = (
+        ranked.join(offs, "grp")
+        .select("grp", "vid", (F.col("_g") - F.col("_off")).alias("r"))
+        .localCheckpoint(eager=True)
+    )
+    lap_off = (
+        e.join(ridmap.select("grp", F.col("vid").alias("src"), F.col("r").alias("rs")), ["grp", "src"])
+        .join(ridmap.select("grp", F.col("vid").alias("dst"), F.col("r").alias("rd")), ["grp", "dst"])
+        .select("grp", F.col("rs").alias("r"), F.col("rd").alias("c"), F.lit(-1.0).alias("v"))
+    )
+    lap_diag = (
+        base.join(ridmap, ["grp", "vid"]).select("grp", "r", F.col("deg").alias("d"))
+    )
+    h = mg_setup(
+        lap_off,
+        lap_diag,
+        factor=max(2, opts.rsb_mg_factor),
+        tail_threshold=opts.mg_tail_threshold,
+    )
+    # CG iteration budget — deliberately NOT capped at the group size
+    # (unlike the Lanczos Krylov dimension): preconditioned CG in floating
+    # point routinely needs > n steps to hit tight tolerances
+    miter = opts.rsb_max_iter
+    tol = opts.rsb_tol
+
+    if not h.levels:
+        # Every group fits under mg_tail_threshold: run the reference
+        # arithmetic per group on the driver (the serial base-case
+        # analogue of the Lanczos path's driver-side TQLI; h.tail[g][0]
+        # IS the group's full Laplacian). At 10^12 vertices only the
+        # last ~log2(threshold) bisection levels take this path.
+        from parrsb_spark.operators.multigrid import np_inverse_fiedler
+
+        z0_rows = (
+            state0.join(ridmap, ["grp", "vid"]).select("grp", "r", "q").collect()
+        )
+        z0_by_grp: dict[int, dict[int, float]] = {}
+        for row in z0_rows:
+            z0_by_grp.setdefault(int(row["grp"]), {})[int(row["r"])] = float(row["q"])
+        out_rows = []
+        for g, levels_np in h.tail.items():
+            A = levels_np[0]
+            n_g = A.shape[0]
+            z0 = np.zeros(n_g)
+            for rid, val in z0_by_grp.get(g, {}).items():
+                z0[rid - 1] = val
+            f_np = np_inverse_fiedler(
+                A, z0, miter, max(1, opts.rsb_max_passes), tol,
+                factor=max(2, opts.rsb_mg_factor),
+            )
+            for i, val in enumerate(f_np):
+                out_rows.append((g, i + 1, float(val)))
+        f_small = spark.createDataFrame(out_rows, schema="grp long, r long, z double")
+        return (
+            f_small.join(ridmap, ["grp", "r"])
+            .select("vid", "grp", F.col("z").alias("fiedler"))
+            .localCheckpoint(eager=True)
+        )
+
+    off_ck = lap_off.localCheckpoint(eager=True)
+    diag_ck = lap_diag.localCheckpoint(eager=True)
+
+    def lap_apply(vec: DataFrame, col: str) -> DataFrame:
+        """(grp, r, <col>) → (grp, r, _w = L vec)."""
+        gathered = (
+            off_ck.join(vec.select("grp", F.col("r").alias("c"), F.col(col).alias("_x")), ["grp", "c"])
+            .groupBy("grp", "r")
+            .agg(F.sum(F.col("v") * F.col("_x")).alias("_g"))
+        )
+        return (
+            vec.join(diag_ck, ["grp", "r"])
+            .join(gathered, ["grp", "r"], "left")
+            .select("grp", "r", *[c for c in vec.columns if c not in ("grp", "r")],
+                    (F.col("d") * F.col(col) + F.coalesce("_g", F.lit(0.0))).alias("_w"))
+        )
+
+    z = (
+        state0.join(ridmap, ["grp", "vid"])
+        .select("grp", "r", F.col("q").alias("z"))
+        .localCheckpoint(eager=True)
+    )
+    groups = sorted(sizes)
+
+    f = z
+    for pss in range(max(1, opts.rsb_max_passes)):
+        # ---- project(): PCG solve of L x = z on 1⊥ (ref fiedler.c:96-186)
+        st = z.select("grp", "r", F.col("z").alias("b"))
+        st = st.withColumn("x", F.lit(0.0)).withColumn("rv", F.col("b"))
+        zp = mg_vcycle(h, st.select("grp", "r", F.col("rv").alias("x")))
+        st = st.join(zp, ["grp", "r"]).withColumnRenamed("z", "zp")
+        st = _hard_truncate(_ortho_mean(st, "zp").withColumn("p", F.col("zp")))
+        sc0 = _group_scalars(st, {"rr": F.sum(F.col("rv") ** 2), "rz": F.sum(F.col("rv") * F.col("zp"))})
+        rtol = {g: sc0[g]["rr"] * tol * tol for g in groups}
+        rz1 = {g: sc0[g]["rz"] for g in groups}
+        iters = 0
+        for it in range(miter):
+            stw = lap_apply(st, "p")
+            pw = _group_scalars(stw, {"pw": F.sum(F.col("p") * F.col("_w"))})
+            alpha = {g: (rz1[g] / pw[g]["pw"] if abs(pw[g]["pw"]) > _EPS else 0.0) for g in groups}
+            a_col = _lit_map(alpha)[F.col("grp")]
+            st = stw.select(
+                "grp", "r", "b", "zp",
+                (F.col("x") + a_col * F.col("p")).alias("x"),
+                (F.col("rv") - a_col * F.col("_w")).alias("rv"),
+                "p",
+            )
+            st = _hard_truncate(st)
+            rr = _group_scalars(st, {"rr": F.sum(F.col("rv") ** 2)})
+            iters = it + 1
+            if all(rr[g]["rr"] < rtol[g] or math.sqrt(rr[g]["rr"]) < tol for g in groups):
+                break
+            zp_new = mg_vcycle(h, st.select("grp", "r", F.col("rv").alias("x")))
+            st = (
+                st.withColumnRenamed("zp", "zp0")
+                .join(zp_new.withColumnRenamed("z", "zp"), ["grp", "r"])
+            )
+            st = _ortho_mean(st, "zp")
+            sc = _group_scalars(
+                st,
+                {
+                    "rz1": F.sum(F.col("rv") * F.col("zp")),
+                    "rz2": F.sum(F.col("rv") * (F.col("zp") - F.col("zp0"))),
+                },
+            )
+            beta = {g: (sc[g]["rz2"] / rz1[g] if abs(rz1[g]) > _EPS else 0.0) for g in groups}
+            rz1 = {g: sc[g]["rz1"] for g in groups}
+            b_col = _lit_map(beta)[F.col("grp")]
+            st = st.select(
+                "grp", "r", "b", "x", "rv", "zp",
+                (F.col("zp") + b_col * F.col("p")).alias("p"),
+            ).localCheckpoint(eager=True)
+
+        # ---- outer update: ortho, normalize (ref fiedler.c:231-247)
+        y = _ortho_mean(st.select("grp", "r", F.col("x").alias("y")), "y")
+        nrm = _group_scalars(y, {"nn": F.sum(F.col("y") ** 2)})
+        nrm_d = {g: (math.sqrt(v["nn"]) if v["nn"] > _EPS else 1.0) for g, v in nrm.items()}
+        z = y.select(
+            "grp", "r", (F.col("y") / _lit_map(nrm_d)[F.col("grp")]).alias("z")
+        )
+        z = _hard_truncate(_ortho_mean(z, "z"))
+        f = z
+        if iters <= 1:
+            break
+
+    h.unpersist()
+    # back to vids, unit-norm per group
+    out = f.join(ridmap, ["grp", "r"]).select("vid", "grp", F.col("z").alias("fiedler"))
+    nrm = _group_scalars(out, {"nn": F.sum(F.col("fiedler") ** 2)})
+    nrm_d = {g: (math.sqrt(v["nn"]) if v["nn"] > _EPS else 1.0) for g, v in nrm.items()}
+    return out.select(
+        "vid", "grp", (F.col("fiedler") / _lit_map(nrm_d)[F.col("grp")]).alias("fiedler")
+    ).localCheckpoint(eager=True)
 
 
 def _fresh_state(st: DataFrame) -> DataFrame:
@@ -313,7 +513,14 @@ def _lanczos_pass(spmv_fn, state, sizes, opts):
             F.when(updc, F.col("q")).otherwise(F.col("qprev")).alias("qprev"),
             F.when(updc, _lit_map(beta_d)[grp]).otherwise(F.col("bp")).alias("bp"),
             F.when(updc, F.concat(F.col("qs"), F.array(new_q))).otherwise(F.col("qs")).alias("qs"),
-        ).localCheckpoint(eager=False)
+        )
+        if opts.spmv_impl == "csr_arrow":
+            # the cogroup plan carries the state on both join sides, so a
+            # plain checkpoint would square the carried sizeInBytes every
+            # iteration (see session.hard_truncate) — sever fully instead
+            state = _hard_truncate(state)
+        else:
+            state = state.localCheckpoint(eager=False)
     return state, alphas, betas, updates
 
 

@@ -84,3 +84,30 @@ def iterative_conf(spark: SparkSession):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def hard_truncate(df):
+    """Materialize AND fully sever a DataFrame's logical plan.
+
+    `localCheckpoint` keeps the original plan's STATISTICS on the new
+    LogicalRDD, and Catalyst's size-in-bytes estimate for a join is the
+    PRODUCT of its children's sizes. A driver loop that checkpoints a
+    plan where the state DF appears on BOTH sides of a join therefore
+    SQUARES the carried sizeInBytes every iteration — the BigInt's digit
+    count doubles, and after ~18 iterations each checkpoint spends its
+    time in BigInteger.multiply (measured: geometric stage-submit
+    latency; plans with one state branch only grow digits linearly and
+    stay flat for any realistic iteration count).
+
+    Rebuilding the DataFrame from the checkpointed InternalRow RDD drops
+    originStats/originConstraints and resets sizeInBytes to the session
+    default. Trade-off: output-partitioning metadata is lost (callers
+    pay one re-shuffle next use), so reach for this only in loops whose
+    plans square the state (both-sides joins, pandas cogroups)."""
+    from pyspark.sql.classic.dataframe import DataFrame as _CDF
+
+    spark = df.sparkSession
+    jdf = df._jdf.localCheckpoint(True)
+    jrdd = jdf.queryExecution().toRdd()
+    jdf2 = spark._jsparkSession.internalCreateDataFrame(jrdd, jdf.schema(), False)
+    return _CDF(jdf2, spark)

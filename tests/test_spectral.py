@@ -57,6 +57,110 @@ def test_fiedler_spmv_impls_allclose(spark, impl):
         assert abs(got[v] - exp[v]) < 1e-6, (impl, v)
 
 
+@pytest.mark.parametrize(
+    "name,edges",
+    [
+        ("grid4x3", graphs.grid2d(4, 3)[0]),
+        ("two_cliques", graphs.two_cliques_bridge(8)),
+        ("path", [(i, i + 1) for i in range(1, 12)]),
+    ],
+)
+def test_fiedler_inverse_allclose_1e6(spark, name, edges):
+    """D9-D11: rsb_algo='inverse' (inverse power + MG-preconditioned
+    projected CG, ref src/fiedler.c:189-321) must reach the same
+    eigenvector as the numpy oracle to 1e-6."""
+    df = graphs.to_df(spark, edges)
+    opts = _opts(rsb_max_iter=40, rsb_max_passes=50, rsb_tol=1e-9, rsb_algo="inverse")
+    got = {r["vid"]: r["fiedler"] for r in fiedler(df, opts=opts).collect()}
+    exp, _ = fiedler_np(edges)
+    for v in exp:
+        assert abs(got[v] - exp[v]) < 1e-6, (name, v, got[v], exp[v])
+
+
+def test_mg_vcycle_distributed_matches_numpy(spark):
+    """D10/D11: the distributed V-cycle (2 DataFrame levels + numpy tail)
+    must reproduce the all-numpy V-cycle bit-for-bit on the same input."""
+    import numpy as np
+
+    from parrsb_spark.operators.multigrid import (
+        _np_tail_levels,
+        _np_vcycle,
+        mg_setup,
+        mg_vcycle,
+    )
+
+    n = 12
+    edges = [(i, i + 1) for i in range(1, n)]
+    A = np.zeros((n, n))
+    for u, v in edges:
+        A[u-1, u-1] += 1; A[v-1, v-1] += 1; A[u-1, v-1] -= 1; A[v-1, u-1] -= 1
+    off = spark.createDataFrame(
+        [(0, u, v, -1.0) for u, v in edges] + [(0, v, u, -1.0) for u, v in edges],
+        schema="grp long, r long, c long, v double",
+    )
+    diag = spark.createDataFrame(
+        [(0, i + 1, float(A[i, i])) for i in range(n)], schema="grp long, r long, d double"
+    )
+    h = mg_setup(off, diag, factor=2, tail_threshold=4)
+    assert len(h.levels) >= 2  # genuinely distributed levels
+    rng = np.random.default_rng(7)
+    rvec = rng.normal(size=n)
+    r_df = spark.createDataFrame(
+        [(0, i + 1, float(rvec[i])) for i in range(n)], schema="grp long, r long, x double"
+    )
+    got = {r["r"]: r["z"] for r in mg_vcycle(h, r_df).collect()}
+    exp = _np_vcycle(_np_tail_levels(A, 2), rvec)
+    assert max(abs(got[i + 1] - exp[i]) for i in range(n)) < 1e-12
+
+
+def test_inverse_distributed_pcg_matches_numpy(spark):
+    """The distributed MG-PCG (mg_tail_threshold forces DataFrame levels)
+    must match the serial reference arithmetic after the same number of
+    CG steps (mpass=1, miter=3, tol=0 → exactly 3 steps both sides)."""
+    import numpy as np
+
+    from parrsb_spark.operators.multigrid import np_inverse_fiedler
+
+    n = 12
+    edges = [(i, i + 1) for i in range(1, n)]
+    df = graphs.to_df(spark, edges)
+    opts = _opts(
+        rsb_max_iter=3, rsb_max_passes=1, rsb_tol=0.0,
+        rsb_algo="inverse", mg_tail_threshold=4,
+    )
+    got = {r["vid"]: r["fiedler"] for r in fiedler(df, opts=opts, sign_fix=False).collect()}
+    A = np.zeros((n, n))
+    for u, v in edges:
+        A[u-1, u-1] += 1; A[v-1, v-1] += 1; A[u-1, v-1] -= 1; A[v-1, u-1] -= 1
+    z = np.arange(1, n + 1, dtype=float)
+    z[: n // 2] += 1000 * n
+    z = z - z.mean(); z = z / np.linalg.norm(z)
+    exp = np_inverse_fiedler(A, z, 3, 1, 0.0, 2)
+    assert max(abs(got[i + 1] - exp[i]) for i in range(n)) < 1e-8
+
+
+@pytest.mark.parametrize("factor", [2, 4])
+def test_rsb_inverse_cuts_the_bridge(spark, factor):
+    """RSB end-to-end on the inverse path at MG factors 2 and 4 — the
+    reference's CI matrix (ref .github/workflows/ci.yml:68-95)."""
+    edges = graphs.two_cliques_bridge(8)
+    df = graphs.to_df(spark, edges)
+    opts = _opts(
+        rsb_max_iter=40, rsb_max_passes=20, rsb_tol=1e-8,
+        rsb_algo="inverse", rsb_mg_factor=factor,
+    )
+    parts = rsb_partition(df, 2, opts=opts)
+    assert edge_cut(df, parts) == 1
+    sizes = {r["part"]: r["n"] for r in partition_sizes(parts).collect()}
+    assert sorted(sizes.values()) == [8, 8]
+
+
+def test_rsb_algo_unknown_raises(spark):
+    df = graphs.to_df(spark, graphs.grid2d(3, 3)[0])
+    with pytest.raises(ValueError, match="rsb_algo"):
+        fiedler(df, opts=_opts(rsb_algo="does-not-exist"))
+
+
 def test_rsb_cuts_the_bridge(spark):
     """Bisection of two cliques + bridge must cut exactly the bridge."""
     edges = graphs.two_cliques_bridge(8)
