@@ -89,14 +89,17 @@ def rsb_partition(
         splits = F.broadcast(
             spark.createDataFrame(split_rows, schema="grp long, target0 long")
         )
-        assigned = (
-            fied.withColumn("rn", F.row_number().over(w))
-            .join(splits, "grp")
-            .select(
-                "vid",
-                (F.col("grp") * 2 + F.when(F.col("rn") <= F.col("target0"), 0).otherwise(1))
-                .alias("part"),
-            )
+        ranked = fied.withColumn("rn", F.row_number().over(w)).join(splits, "grp")
+        assigned = ranked.select(
+            "vid",
+            "grp",
+            "fiedler",
+            "rn",
+            F.when(F.col("rn") <= F.col("target0"), 0).otherwise(1).alias("half"),
+        )
+        assigned = _tie_break_boundary(edges, ranked, assigned)
+        assigned = assigned.select(
+            "vid", (F.col("grp") * 2 + F.col("half")).alias("part")
         )
         inactive = state.filter(~F.col("part").isin(active)).select(
             "vid", (F.col("part") * 2).alias("part")
@@ -122,6 +125,80 @@ def rsb_partition(
         )
     )
     return state.join(remap, "part").select("vid", F.col("dense").alias("part"))
+
+
+def _tie_break_boundary(edges: DataFrame, ranked: DataFrame, assigned: DataFrame) -> DataFrame:
+    """Cut-aware handling of fiedler TIES at the split boundary (E7).
+
+    The reference's balance fix-up moves *boundary* elements between the
+    halves in fiedler order, preserving cut quality while restoring
+    balance (`balance_partitions`, ref /root/reference/src/rsb.c:118-229).
+    The rank-exact window split already guarantees balance, but when the
+    fiedler value at the boundary is TIED (symmetric graphs — grids,
+    cliques), the vid tie-break is cut-blind. Here, per group, the tied
+    band around the boundary is re-assigned greedily: each tied vertex
+    scores (#neighbors fixed in half 0) − (#neighbors fixed in half 1),
+    and the band's half-0 quota goes to the highest-scoring vertices
+    (ties on score → vid, fully deterministic). Sizes are unchanged.
+
+    Cost discipline: one tiny per-group aggregate decides whether ANY
+    group has a boundary tie; the common untied case pays nothing else.
+    """
+    spark = edges.sparkSession
+    # boundary fiedler values: ranks target0 / target0+1
+    bvals = (
+        ranked.filter((F.col("rn") == F.col("target0")) | (F.col("rn") == F.col("target0") + 1))
+        .groupBy("grp")
+        .agg(
+            F.min("fiedler").alias("f_lo"),
+            F.max("fiedler").alias("f_hi"),
+            F.count("*").alias("n_b"),
+        )
+        .filter((F.col("n_b") == 2) & (F.col("f_lo") == F.col("f_hi")))
+        .select("grp", F.col("f_lo").alias("f_tie"))
+        .collect()
+    )
+    if not bvals:
+        return assigned
+    tie_map = {int(r["grp"]): float(r["f_tie"]) for r in bvals}
+    from parrsb_spark.operators.fiedler import _lit_map
+
+    tied_groups = sorted(tie_map)
+    is_tied = (
+        F.col("grp").isin(tied_groups)
+        & (F.col("fiedler") == _lit_map(tie_map)[F.col("grp")])
+    )
+    a = assigned.withColumn("tied", is_tied).localCheckpoint(eager=True)
+    fixed = a.filter(~F.col("tied")).select(
+        F.col("vid").alias("nbr"), F.col("grp").alias("ngrp"), F.col("half").alias("nhalf")
+    )
+    tied = a.filter(F.col("tied"))
+    # score = (#fixed nbrs in half 0) − (#fixed nbrs in half 1), intra-group
+    from parrsb_spark.functions.spmv import symmetrize
+
+    sym = symmetrize(edges)
+    nbr_half = (
+        sym.join(tied.select(F.col("vid").alias("src"), "grp"), "src")
+        .join(fixed, (F.col("dst") == F.col("nbr")) & (F.col("grp") == F.col("ngrp")))
+        .groupBy(F.col("src").alias("vid"))
+        .agg(F.sum(F.when(F.col("nhalf") == 0, 1).otherwise(-1)).alias("score"))
+    )
+    quota = {
+        int(r["grp"]): int(r["q"])
+        for r in tied.groupBy("grp").agg(F.sum(F.lit(1) - F.col("half")).alias("q")).collect()
+    }
+    w_t = Window.partitionBy("grp").orderBy(F.desc("score"), F.asc("vid"))
+    re_t = (
+        tied.join(nbr_half, "vid", "left")
+        .withColumn("score", F.coalesce("score", F.lit(0)))
+        .withColumn("trn", F.row_number().over(w_t))
+        .withColumn(
+            "half",
+            F.when(F.col("trn") <= _lit_map(quota)[F.col("grp")], 0).otherwise(1),
+        )
+        .select("vid", "grp", "fiedler", "rn", "half", "tied")
+    )
+    return a.filter(~F.col("tied")).union(re_t).drop("tied")
 
 
 def _component_check(edges: DataFrame, state: DataFrame, cut: int) -> None:

@@ -78,3 +78,64 @@ def test_graph_families_shapes():
     assert len(graphs.star_hub(10)) == 10
     pl = graphs.powerlaw(100, m=2, seed=42)
     assert len(pl) > 50 and all(u != v for u, v in pl)
+
+
+def test_fuzzy_vertex_ids_matches_union_find(spark):
+    """C3 general fuzzy matching (ref con-unique-vertices.c:445-505):
+    tolerance-chained clusters along every dimension share one id —
+    verified against a brute-force union-find oracle, across a partition
+    count that forces range-boundary merges."""
+    import numpy as np
+
+    from parrsb_spark.sources.fuzzy import fuzzy_vertex_ids
+
+    rng = np.random.default_rng(11)
+    tol = 0.1
+    # clusters of near-coincident points + chained runs + isolated points
+    pts = []
+    base = rng.uniform(0, 100, size=(40, 2))
+    vid = 0
+    for bx, by in base:
+        for _ in range(int(rng.integers(1, 4))):
+            pts.append(
+                (vid, float(bx + rng.uniform(-0.04, 0.04)), float(by + rng.uniform(-0.04, 0.04)))
+            )
+            vid += 1
+    # a chain: consecutive gaps just under tol (transitive matching)
+    for i in range(5):
+        pts.append((vid, 200.0 + i * 0.09, 50.0))
+        vid += 1
+    df = spark.createDataFrame(pts, schema="vid long, x double, y double")
+    got = {r["vid"]: r["gid"] for r in fuzzy_vertex_ids(df, ["x", "y"], tol).collect()}
+    assert set(got) == {p[0] for p in pts}
+
+    # oracle: union-find with the same per-dimension chaining semantics
+    def oracle(pts, tol):
+        parent = {p[0]: p[0] for p in pts}
+        def find(a):
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+        def union(a, b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # dim-0 chaining segments
+        by_x = sorted(pts, key=lambda p: (p[1], p[0]))
+        segs, cur = [], [by_x[0]]
+        for prev, nxt in zip(by_x, by_x[1:]):
+            if nxt[1] - prev[1] > tol:
+                segs.append(cur); cur = []
+            cur.append(nxt)
+        segs.append(cur)
+        # dim-1 chaining within each segment
+        for seg in segs:
+            by_y = sorted(seg, key=lambda p: (p[2], p[0]))
+            for prev, nxt in zip(by_y, by_y[1:]):
+                if nxt[2] - prev[2] <= tol:
+                    union(prev[0], nxt[0])
+        return {p[0]: find(p[0]) for p in pts}
+
+    exp = oracle(pts, tol)
+    assert got == exp

@@ -139,6 +139,21 @@ def test_inverse_distributed_pcg_matches_numpy(spark):
     assert max(abs(got[i + 1] - exp[i]) for i in range(n)) < 1e-8
 
 
+def test_rsb_grid_cuts_optimal(spark):
+    """E7 cut-aware boundary tie-break: on symmetric grids the fiedler
+    median is tied, and the cut-blind vid tie-break can cost edge-cut;
+    with the boundary re-assignment the straight-line optimal cuts are
+    achieved (ref balance_partitions boundary moves, src/rsb.c:118-229)."""
+    opts = _opts(rsb_max_iter=40, rsb_max_passes=5, rsb_tol=1e-8)
+    for (nx, ny), k, optimal in [((4, 4), 2, 4), ((4, 4), 4, 8), ((6, 6), 2, 6)]:
+        edges, _ = graphs.grid2d(nx, ny)
+        df = graphs.to_df(spark, edges)
+        parts = rsb_partition(df, k, opts=opts)
+        assert edge_cut(df, parts) <= optimal, (nx, ny, k)
+        sizes = sorted(r["n"] for r in partition_sizes(parts).collect())
+        assert max(sizes) - min(sizes) <= 1
+
+
 @pytest.mark.parametrize("factor", [2, 4])
 def test_rsb_inverse_cuts_the_bridge(spark, factor):
     """RSB end-to-end on the inverse path at MG factors 2 and 4 — the
