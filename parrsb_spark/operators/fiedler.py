@@ -74,18 +74,29 @@ def fiedler(
     membership: DataFrame | None = None,
     opts: EngineOptions | None = None,
     sign_fix: bool = True,
+    symmetrized: bool = False,
 ) -> DataFrame:
     """Returns (vid, grp, fiedler), unit-norm per group, sign-fixed so the
     entry at the group's smallest vid with |f| > 1e-9 is positive.
 
     `membership` = (vid, grp); default: all vertices in group 0. Edges
     crossing groups are dropped (the Laplacian of each subgraph).
+    `symmetrized=True` skips the symmetrize pass — callers that loop over
+    cuts (the RSB driver) symmetrize + cache ONCE instead of paying the
+    distinct-over-2|E| shuffle per cut.
+
+    Design note (measured): Lanczos iterations are NOT burst-fused the
+    way pagerank chains its steps — each iteration's alpha/beta must
+    reach the driver for the tridiagonal solve, and feeding them back
+    cluster-side as broadcast aggregates forces the full SpMV subtree to
+    recompute per broadcast (sf0.1: burst=2 took 2.5x the single-step
+    loop). One job per iteration with literal-map scalars is the win.
     """
     opts = opts or default_options()
     spark = edges.sparkSession
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
-    sym = symmetrize(edges)
+    sym = edges.select("src", "dst") if symmetrized else symmetrize(edges)
     verts = vertices_from_edges(edges)
     if membership is None:
         membership = verts.withColumn("grp", F.lit(0))

@@ -65,13 +65,18 @@ def rsb_partition(
         state = verts.withColumn("part", F.lit(0).cast("long"))
         np_of = {0: k}
     cut = 0
+    # symmetrize once for every cut (fiedler would otherwise re-run the
+    # distinct-over-2|E| shuffle per bisection level)
+    from parrsb_spark.functions.spmv import symmetrize
+
+    sym = symmetrize(edges).localCheckpoint(eager=True)
 
     while any(v > 1 for v in np_of.values()):
         active = sorted(g for g, npg in np_of.items() if npg > 1)
         membership = state.filter(F.col("part").isin(active)).select(
             "vid", F.col("part").alias("grp")
         )
-        fied = fiedler(edges, membership=membership, opts=opts)
+        fied = fiedler(sym, membership=membership, opts=opts, symmetrized=True)
 
         # rank-exact median cut per group (E6; window = the parallel sort)
         w = Window.partitionBy("grp").orderBy("fiedler", "vid")
@@ -97,7 +102,7 @@ def rsb_partition(
             "rn",
             F.when(F.col("rn") <= F.col("target0"), 0).otherwise(1).alias("half"),
         )
-        assigned = _tie_break_boundary(edges, ranked, assigned)
+        assigned = _tie_break_boundary(sym, ranked, assigned)
         assigned = assigned.select(
             "vid", (F.col("grp") * 2 + F.col("half")).alias("part")
         )
@@ -127,7 +132,7 @@ def rsb_partition(
     return state.join(remap, "part").select("vid", F.col("dense").alias("part"))
 
 
-def _tie_break_boundary(edges: DataFrame, ranked: DataFrame, assigned: DataFrame) -> DataFrame:
+def _tie_break_boundary(sym: DataFrame, ranked: DataFrame, assigned: DataFrame) -> DataFrame:
     """Cut-aware handling of fiedler TIES at the split boundary (E7).
 
     The reference's balance fix-up moves *boundary* elements between the
@@ -144,7 +149,7 @@ def _tie_break_boundary(edges: DataFrame, ranked: DataFrame, assigned: DataFrame
     Cost discipline: one tiny per-group aggregate decides whether ANY
     group has a boundary tie; the common untied case pays nothing else.
     """
-    spark = edges.sparkSession
+    spark = sym.sparkSession
     # boundary fiedler values: ranks target0 / target0+1
     bvals = (
         ranked.filter((F.col("rn") == F.col("target0")) | (F.col("rn") == F.col("target0") + 1))
@@ -174,9 +179,7 @@ def _tie_break_boundary(edges: DataFrame, ranked: DataFrame, assigned: DataFrame
     )
     tied = a.filter(F.col("tied"))
     # score = (#fixed nbrs in half 0) − (#fixed nbrs in half 1), intra-group
-    from parrsb_spark.functions.spmv import symmetrize
-
-    sym = symmetrize(edges)
+    # (caller passes the already-symmetrized, cached edge set)
     nbr_half = (
         sym.join(tied.select(F.col("vid").alias("src"), "grp"), "src")
         .join(fixed, (F.col("dst") == F.col("nbr")) & (F.col("grp") == F.col("ngrp")))
