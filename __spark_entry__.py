@@ -6,10 +6,14 @@
 - ``queries()``: one entry per implemented operator (SURVEY.md §2),
   (spark, sf_dir) → DataFrame.
 - ``oracle_sql()``: DuckDB-runnable ANSI SQL producing identical values
-  (column names and rounding matched). Iterative-eigensolver queries
-  (graph_fiedler, graph_rsb_parts) are intentionally omitted — they are
-  not SQL-expressible; pytest verifies them against numpy oracles
-  (tests/test_spectral.py).
+  (column names and rounding matched). EVERY queries() entry has an
+  oracle: the iterative eigensolver's raw per-vertex values are not
+  SQL-expressible (pytest verifies them against numpy at 1e-6,
+  tests/test_spectral.py; entry() runs them end-to-end), so the board
+  rows assert their SQL-checkable CONTRACTS instead — unit norm /
+  orthogonality / sign convention (graph_fiedler_qa), the closed-form
+  halving sizes (graph_rsb_sizes), and the genmap --test comm-volume
+  gate (graph_rsb_gate).
 """
 
 from __future__ import annotations

@@ -5,6 +5,25 @@ env-var override precedence (env wins over caller-supplied values):
 ref /root/reference/src/parRSB.h:21-41 (struct),
 /root/reference/src/parrsb.c:26-44 (defaults),
 /root/reference/src/parrsb.c:48-77 (env overrides).
+
+Every field here is CONSUMED somewhere (no dead knobs):
+- partitioner  → operators/partition.py dispatch
+- repair       → operators/rsb.py `_repair_parts`
+- verbose      → operators/rsb.py per-cut progress prints
+- rsb_*        → operators/fiedler.py / rsb.py
+- spmv_impl    → operators/fiedler.py physical SpMV strategy
+- salt_degree_threshold   → operators/pagerank.py salted hub aggregation
+- broadcast_threshold_rows → operators/similarity.py query-side broadcast gate
+
+Deliberately ABSENT reference knobs:
+- ``levels`` (node-aware two-level hierarchy, ref parrsb.c:186-234) — a
+  documented non-goal (SURVEY.md §4): Spark's shuffle service owns
+  network topology; a rack-aware hierarchy would fight it.
+- a global checkpoint-cadence knob — per-kernel burst lengths
+  (pagerank/CC chain=2, Lanczos one-job-per-iteration) were each
+  MEASURED optimal; a shared cadence would regress them. labelprop
+  exposes its own ``checkpoint_interval`` parameter where cadence is
+  genuinely tunable.
 """
 
 from __future__ import annotations
@@ -17,13 +36,13 @@ from dataclasses import dataclass, field, fields
 class EngineOptions:
     # --- partitioner selection (ref parrsb.c:27-31) ---
     partitioner: str = "rsb"      # rsb | rcb | rib       (ref: 0/1/2)
-    levels: int = 2               # partition hierarchy depth
-    repair: int = 0               # reconnect disconnected halves
+    repair: int = 0               # reconnect disconnected halves (rsb.py)
     verbose: int = 1
 
     # --- RSB core (ref parrsb.c:36-44) ---
     rsb_algo: str = "lanczos"     # lanczos | inverse (RQI) — lanczos default
     rsb_pre: int = 1              # 0=sort, 1=RCB, 2=RIB pre-partitioning
+                                  # (needs coords; auto-off without, ref parrsb.c:250)
     rsb_max_iter: int = 50        # Lanczos iterations per pass
     rsb_max_passes: int = 50      # restart passes
     rsb_tol: float = 1e-5         # convergence tolerance
@@ -38,9 +57,8 @@ class EngineOptions:
 
     # --- Spark-specific knobs (no reference analogue) ---
     shuffle_partitions: int = 32
-    checkpoint_interval: int = 8      # localCheckpoint cadence in iterative loops
-    salt_degree_threshold: int = 100_000  # hub-vertex salting kicks in above this
-    broadcast_threshold_rows: int = 1_000_000
+    salt_degree_threshold: int = 100_000  # hub salting in pagerank above this
+    broadcast_threshold_rows: int = 1_000_000  # similarity query-side broadcast cap
 
     def __post_init__(self) -> None:
         self._apply_env()

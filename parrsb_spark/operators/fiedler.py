@@ -33,10 +33,11 @@ from __future__ import annotations
 import math
 
 import numpy as np
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from parrsb_spark.config import EngineOptions, default_options
+from parrsb_spark.functions.ids import grouped_rank
 from parrsb_spark.functions.spmv import symmetrize
 from parrsb_spark.session import hard_truncate as _hard_truncate, iterative_conf
 from parrsb_spark.sources.edges import vertices_from_edges
@@ -75,6 +76,7 @@ def fiedler(
     opts: EngineOptions | None = None,
     sign_fix: bool = True,
     symmetrized: bool = False,
+    init_order: DataFrame | None = None,
 ) -> DataFrame:
     """Returns (vid, grp, fiedler), unit-norm per group, sign-fixed so the
     entry at the group's smallest vid with |f| > 1e-9 is positive.
@@ -91,8 +93,17 @@ def fiedler(
     cluster-side as broadcast aggregates forces the full SpMV subtree to
     recompute per broadcast (sf0.1: burst=2 took 2.5x the single-step
     loop). One job per iteration with literal-map scalars is the win.
+
+    `init_order` = optional (vid, ord): the deterministic init ranks by
+    (ord, vid) instead of vid — the rsb_pre geometric pre-partition hook
+    (ref src/rsb.c:282-292): the init vector's "first half" becomes the
+    RCB/RIB half, so Lanczos starts from the geometric bisection.
     """
     opts = opts or default_options()
+    if opts.spmv_impl not in ("join", "block", "csr_arrow"):
+        raise ValueError(
+            f"unknown spmv_impl {opts.spmv_impl!r} (join | block | csr_arrow)"
+        )
     spark = edges.sparkSession
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
@@ -133,7 +144,7 @@ def fiedler(
     #               (ref mat_vec_csr, src/mat.c:829-846); see the measured
     #               long-loop caveat in functions/spmv.py
     eblk = halo = None
-    if opts.spmv_impl in ("block", "csr", "csr_arrow"):
+    if opts.spmv_impl in ("block", "csr_arrow"):
         from parrsb_spark.functions.spmv import (
             csr_block_setup,
             spmv_block_gather,
@@ -158,8 +169,16 @@ def fiedler(
 
     # ---- deterministic init (ref fiedler.c:574-578): rank within group,
     # +1000*n for the first half — a seeded, reproducible split direction.
-    w_rank = Window.partitionBy("grp").orderBy("vid")
-    init = base.withColumn("r", F.row_number().over(w_rank))
+    # Rank is the scale-safe range-partitioned form (grouped_rank), never a
+    # partitionBy(grp) window (whole group in one task). With init_order
+    # (the rsb_pre hook) the rank follows the geometric pre-order.
+    if init_order is not None:
+        ibase = base.join(
+            init_order.select("vid", F.col("ord").alias("_iord")), "vid", "left"
+        ).withColumn("_iord", F.coalesce("_iord", F.lit(0.0)))
+        init = grouped_rank(ibase, "grp", ["_iord", "vid"], "r").drop("_iord")
+    else:
+        init = grouped_rank(base, "grp", ["vid"], "r")
     n_col = _lit_map({g: float(n) for g, n in sizes.items()})[F.col("grp")]
     init = init.withColumn(
         "x",
@@ -167,7 +186,26 @@ def fiedler(
         + F.when(F.col("r") <= n_col / 2, 1000.0 * n_col).otherwise(0.0),
     ).select("vid", "grp", "deg", "x")
 
-    state0 = _orthonormalize(init, "x", "q")
+    # init mean/norm are CLOSED FORM — x is a permutation of
+    # {r + 1000n·[r ≤ n/2] : r = 1..n}, so Σx and Σx² follow from n alone
+    # (exact integer arithmetic). Saves the _orthonormalize full-pass job
+    # that round 2 paid at every fiedler() call.
+    mu_d, nrm_d = {}, {}
+    for g, n in sizes.items():
+        h = n // 2
+        sx = n * (n + 1) // 2 + 1000 * n * h
+        sxx = (
+            n * (n + 1) * (2 * n + 1) // 6
+            + 1000 * n * h * (h + 1)
+            + h * (1000 * n) ** 2
+        )
+        nrm2 = float(n * sxx - sx * sx) / n if n else 0.0
+        mu_d[g] = sx / n if n else 0.0
+        nrm_d[g] = math.sqrt(nrm2) if nrm2 > _EPS else 1.0
+    grpc = F.col("grp")
+    state0 = init.withColumn(
+        "q", (F.col("x") - _lit_map(mu_d)[grpc]) / _lit_map(nrm_d)[grpc]
+    ).drop("x")
     f_df = None
 
     if opts.rsb_algo == "inverse":
@@ -177,10 +215,16 @@ def fiedler(
             f_df = _inverse_driver(spark, e, base, sizes, opts, state0)
     elif opts.rsb_algo == "lanczos":
         state = _fresh_state(state0)
+        passes = max(1, opts.rsb_max_passes)
         with iterative_conf(spark):
-            for pss in range(max(1, opts.rsb_max_passes)):
+            for pss in range(passes):
                 state, alphas, betas, updates = _lanczos_pass(spmv_fn, state, sizes, opts)
                 f_df = _recombine(spark, state, alphas, betas, sizes, updates)
+                if pss + 1 >= passes:
+                    # no restart can happen — the residual's only consumer is
+                    # the restart decision, so skip its SpMV + collect (the
+                    # bench config rsb_max_passes=1 always takes this exit)
+                    break
                 # residual check per group: ||L f - lambda f||
                 res = _residuals(spmv_fn, e, f_df)
                 if all(r < opts.rsb_tol for r in res.values()):
@@ -196,12 +240,21 @@ def fiedler(
 
     out = f_df.select("vid", "grp", "fiedler")
     if sign_fix:
-        w_sign = Window.partitionBy("grp").orderBy(
-            (F.abs(F.col("fiedler")) < 1e-9).cast("int"), "vid"
-        )
-        first = out.withColumn("rn", F.row_number().over(w_sign)).filter(F.col("rn") == 1)
-        signs = first.select(
-            "grp", F.when(F.col("fiedler") < 0, -1.0).otherwise(1.0).alias("sgn")
+        # sign convention (positive entry at the group's smallest vid with
+        # |f| > 1e-9) via ONE struct-min aggregate — map-side combined, no
+        # whole-group single-task window
+        signs = (
+            out.groupBy("grp")
+            .agg(
+                F.min(
+                    F.struct(
+                        (F.abs(F.col("fiedler")) < 1e-9).cast("int").alias("z"),
+                        F.col("vid").alias("v"),
+                        F.col("fiedler").alias("f"),
+                    )
+                ).alias("m")
+            )
+            .select("grp", F.when(F.col("m.f") < 0, -1.0).otherwise(1.0).alias("sgn"))
         )
         out = out.join(F.broadcast(signs), "grp").select(
             "vid", "grp", (F.col("fiedler") * F.col("sgn")).alias("fiedler")
@@ -443,25 +496,53 @@ def _inverse_driver(spark, e, base, sizes, opts, state0) -> DataFrame:
 
 
 def _fresh_state(st: DataFrame) -> DataFrame:
-    """Attach the per-iteration bookkeeping columns: qprev (previous
-    Lanczos vector), bp (last beta, carried as a column — no broadcast
-    join per iteration), qs (the accumulating Krylov basis as ONE array
-    column — replaces the list-of-m-DataFrames basis, bounding memory
-    to a single vertex-state table and killing the m×P-task union at
-    recombine time)."""
+    """Attach the per-iteration bookkeeping columns for the
+    DEFERRED-NORMALIZATION Lanczos: u (the CURRENT basis vector, held
+    UNNORMALIZED — its norm is measured exactly in the next iteration's
+    single reduction), qprev (previous normalized vector), qs (the
+    accumulating NORMALIZED Krylov basis as ONE array column — replaces
+    the list-of-m-DataFrames basis, bounding memory to a single
+    vertex-state table and killing the m×P-task union at recombine
+    time). No carried beta column: each iteration's beta IS ‖u‖,
+    measured directly."""
     return (
-        st.withColumn("qprev", F.lit(0.0))
-        .withColumn("bp", F.lit(0.0))
-        .withColumn("qs", F.array(F.col("q")))
+        st.withColumnRenamed("q", "u")
+        .withColumn("qprev", F.lit(0.0))
+        .withColumn("qs", F.array().cast("array<double>"))
     )
 
 
 def _lanczos_pass(spmv_fn, state, sizes, opts):
+    """Deferred-normalization Lanczos: the basis vector u is carried
+    UNNORMALIZED, and each iteration's single reduction measures its
+    norm β = ‖u‖ DIRECTLY (Σu²) alongside the Rayleigh α = ⟨Lu,u⟩/⟨u,u⟩
+    and the ones-deflation mean.
+
+    Why not the one-pass identity β² = ‖w‖² − α² − n·μ² (round 1-2):
+    once a Ritz pair converges, finite-precision Lanczos loses basis
+    orthogonality (the classic Paige phenomenon) and the identity's
+    assumptions (q unit, w ⟂ basis) break MATERIALLY — the computed β
+    then diverges from the true ‖w−αq−μ‖, each wrongly-scaled q
+    compounds, and the tridiagonal turns garbage. Measured failure: on
+    a 48×32 grid the row-major init is y-dominated, the y-subspace
+    exhausts at iter ~15, and the identity path converged to the WRONG
+    eigenvector (the y-mode, corr 0.0 against the true Fiedler vector)
+    — silently, with unit norm and perfect-looking balance. Directly-
+    measured norms keep every stored q genuinely unit and the recurrence
+    self-stabilizes (verified: corr 1.0 at m=50 on the same grid, both
+    in numpy simulation and in this engine).
+
+    Still ONE SpMV + ONE scalar-reduction collect per iteration — the
+    norm measurement replaces the identity at zero extra jobs."""
     groups = sorted(sizes)
     alphas: dict[int, list[float]] = {g: [] for g in groups}
     betas: dict[int, list[float]] = {g: [] for g in groups}
     updates: dict[int, int] = {g: 0 for g in groups}
     active = {g: sizes[g] > 2 for g in groups}
+    # noise floor for Krylov exhaustion: u_next's entries carry rounding
+    # ~eps·‖v‖/β from the update; scale[g] tracks ‖v‖/β of the PREVIOUS
+    # iteration so β below 1e-12·scale is noise, not a direction
+    scale = {g: 0.0 for g in groups}
     miter = min(opts.rsb_max_iter, max(sizes.values()))
     state = state.localCheckpoint(eager=True)
     # NOTE: in-loop checkpoints below are LAZY — the very next groupBy
@@ -470,59 +551,63 @@ def _lanczos_pass(spmv_fn, state, sizes, opts):
     for j in range(miter):
         if not any(active.values()):
             break
-        st = spmv_fn(state, "q")
-        st = st.withColumn("w", F.col("_Lq") - F.col("bp") * F.col("qprev")).drop("_Lq")
-        # ONE reduction per iteration (the single comm_allreduce analogue):
-        # alpha = <w,q>;  mu = Σw/n (ones-deflation, since Σq = 0);
-        # beta² = ||w − αq − mu||² = <w,w> − α² − n·mu²  (q unit, q ⟂ 1).
+        st = spmv_fn(state, "u")  # _Lq = L·u
+        # ONE reduction per iteration (the single comm_allreduce analogue)
         a_rows = {
             r["grp"]: r
             for r in st.groupBy("grp")
             .agg(
-                F.sum(F.col("w") * F.col("q")).alias("a"),
-                F.sum("w").alias("sw"),
-                F.sum(F.col("w") ** 2).alias("dww"),
+                F.sum(F.col("u") ** 2).alias("s1"),
+                F.sum(F.col("_Lq") * F.col("u")).alias("s2"),
+                F.sum("_Lq").alias("s3"),
+                F.sum("u").alias("su"),
+                F.sum(F.col("_Lq") ** 2).alias("s4"),
                 F.count("*").alias("n"),
             )
             .collect()
         }
-        alpha_d, mu_d, beta_d, upd_d = {}, {}, {}, {}
+        alpha_d, beta_d, mu_d, upd_d = {}, {}, {}, {}
         for g in groups:
             r = a_rows[g]
-            a = float(r["a"] or 0.0)
-            mu = float((r["sw"] or 0.0) / r["n"])
-            dww = float(r["dww"] or 0.0)
-            b2 = dww - a * a - r["n"] * mu * mu
-            # the identity cancels catastrophically once the Krylov space is
-            # exhausted (b² ≪ ‖w‖²): anything below √eps·‖w‖ is noise, not a
-            # direction — treat as converged (the reference's tiny-beta stop)
-            if b2 <= 1e-13 * max(dww, 1e-30):
-                b2 = 0.0
-            b = math.sqrt(b2) if b2 > 0 else 0.0
-            if active[g]:
+            s1 = float(r["s1"] or 0.0)
+            b = math.sqrt(s1) if s1 > 0 else 0.0
+            alive = (
+                active[g]
+                and b > 1e-10
+                and b > 1e-12 * scale[g]
+                and len(alphas[g]) < sizes[g]
+            )
+            if alive:
+                a = float(r["s2"] or 0.0) / s1
+                mu = (float(r["s3"] or 0.0) - a * float(r["su"] or 0.0)) / (b * r["n"])
                 alphas[g].append(a)
-            if active[g] and b > 1e-10 and len(alphas[g]) < sizes[g]:
-                betas[g].append(b)
-                alpha_d[g], mu_d[g], beta_d[g], upd_d[g] = a, mu, b, 1.0
+                if updates[g] > 0:
+                    betas[g].append(b)
                 updates[g] += 1
+                scale[g] = math.sqrt(float(r["s4"] or 0.0)) / b
+                alpha_d[g], beta_d[g], mu_d[g], upd_d[g] = a, b, mu, 1.0
             else:
                 active[g] = False
-                alpha_d[g], mu_d[g], beta_d[g], upd_d[g] = a, mu, 1.0, 0.0
+                alpha_d[g], beta_d[g], mu_d[g], upd_d[g] = 0.0, 1.0, 0.0, 0.0
         # per-group scalars as LITERAL map lookups — pure codegen, no
         # broadcast-join round-trip per iteration (the comm_allreduce
         # result is baked into the next plan, like the reference bakes
         # alpha/beta into rank-local arrays, ref fiedler.c:473-506)
         grp = F.col("grp")
         updc = _lit_map(upd_d)[grp] > 0.5
-        w2 = F.col("w") - _lit_map(alpha_d)[grp] * F.col("q") - _lit_map(mu_d)[grp]
-        new_q = F.when(updc, w2 / _lit_map(beta_d)[grp]).otherwise(F.col("q"))
+        b_col = _lit_map(beta_d)[grp]
+        new_q = F.col("u") / b_col  # normalized current vector
+        u_next = (
+            (F.col("_Lq") - _lit_map(alpha_d)[grp] * F.col("u")) / b_col
+            - b_col * F.col("qprev")
+            - _lit_map(mu_d)[grp]
+        )
         state = st.select(
             "vid",
             "grp",
             "deg",
-            new_q.alias("q"),
-            F.when(updc, F.col("q")).otherwise(F.col("qprev")).alias("qprev"),
-            F.when(updc, _lit_map(beta_d)[grp]).otherwise(F.col("bp")).alias("bp"),
+            F.when(updc, u_next).otherwise(F.col("u")).alias("u"),
+            F.when(updc, new_q).otherwise(F.col("qprev")).alias("qprev"),
             F.when(updc, F.concat(F.col("qs"), F.array(new_q))).otherwise(F.col("qs")).alias("qs"),
         )
         if opts.spmv_impl == "csr_arrow":
@@ -554,26 +639,32 @@ def _recombine(spark, state, alphas, betas, sizes, updates) -> DataFrame:
 
     The basis lives in state's `qs` array column, so recombination is one
     zip_with dot product against a per-group literal weight vector — no
-    m-way union, no (m·partitions)-task stage, no per-vertex groupBy."""
+    m-way union, no (m·partitions)-task stage, no per-vertex groupBy.
+
+    Groups that never iterated (size ≤ 2, or an immediate-stop init)
+    have an EMPTY basis; they fall back to the init vector itself (the
+    `u` column still holds q₀ for them) — any unit ⟂1 vector is a valid
+    split direction for a ≤2-vertex group."""
     weights = {}
     for g in sorted(sizes):
         a, b = alphas[g], betas[g][: max(0, len(alphas[g]) - 1)]
-        if not a:
-            w = [1.0]
-        else:
-            _, u = _tridiag_small_eig(a, b)
-            w = [float(x) for x in u]
-        qlen = 1 + updates.get(g, 0)
-        # qs holds q_0..q_{updates}; the eigvec has len(alphas) ≤ updates+1
-        # entries — zero-pad so zip_with never null-pads
+        qlen = updates.get(g, 0)  # qs holds q_0..q_{updates-1}
+        if not a or qlen == 0:
+            weights[g] = [1.0]
+            continue
+        _, u = _tridiag_small_eig(a, b)
+        w = [float(x) for x in u]
+        # len(w) == len(alphas) == qlen; pad defensively so zip_with
+        # never null-pads
         weights[g] = (w + [0.0] * qlen)[:qlen]
     wvec = _lit_arr_map(weights)[F.col("grp")]
+    dot = F.aggregate(
+        F.zip_with("qs", wvec, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
     f = state.select(
         "vid",
         "grp",
-        F.aggregate(
-            F.zip_with("qs", wvec, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-        ).alias("f_raw"),
+        F.when(F.size("qs") > 0, dot).otherwise(F.col("u")).alias("f_raw"),
     )
     norms = f.groupBy("grp").agg(F.sqrt(F.sum(F.col("f_raw") ** 2)).alias("nrm")).collect()
     nmap = _lit_map(

@@ -43,15 +43,31 @@ def pagerank(
     fixed_iters: int | None = None,
     vertices: DataFrame | None = None,
     chain: int = 2,
+    opts=None,
 ) -> DataFrame:
     """Returns (vid, pr). `fixed_iters` runs exactly that many iterations
     with no convergence checks (oracle-parity mode); otherwise iterate to
-    L1 delta < tol or max_iter, testing convergence every `chain` steps."""
+    L1 delta < tol or max_iter, testing convergence every `chain` steps.
+
+    `opts` (EngineOptions) arms hub salting: when the max in-degree
+    exceeds `opts.salt_degree_threshold`, the per-iteration contribution
+    aggregation runs as the explicit two-stage salted form
+    (functions/spmv.py `salted_agg`). Spark's map-side partial
+    aggregation already combines hub keys per map task; the salted path
+    covers the residual funnel where ONE reduce key still receives a
+    partial from each of ~10⁵ map tasks. Detection is one extra setup
+    aggregate, so it only runs when opts is supplied."""
     spark = edges.sparkSession
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
     d = damping
 
     e = edges.select("src", "dst").repartition(n_shuffle, "src").cache()
+    use_salt = False
+    if opts is not None:
+        max_in = (
+            e.groupBy("dst").agg(F.count("*").alias("c")).agg(F.max("c")).collect()[0][0]
+        )
+        use_salt = max_in is not None and max_in > opts.salt_degree_threshold
     verts = (vertices or vertices_from_edges(e)).select("vid")
     outdeg = e.groupBy(F.col("src").alias("vid")).agg(F.count("*").alias("outdeg"))
     state = (
@@ -75,16 +91,18 @@ def pagerank(
                 ).alias("_dang")
             )
         )
-        contribs = (
-            e.join(
-                r.filter(F.col("outdeg") > 0).select(
-                    F.col("vid").alias("src"), (F.col("pr") / F.col("outdeg")).alias("c")
-                ),
-                "src",
-            )
-            .groupBy(F.col("dst").alias("vid"))
-            .agg(F.sum("c").alias("g"))
-        )
+        joined = e.join(
+            r.filter(F.col("outdeg") > 0).select(
+                F.col("vid").alias("src"), (F.col("pr") / F.col("outdeg")).alias("c")
+            ),
+            "src",
+        ).select(F.col("dst").alias("vid"), "c")
+        if use_salt:
+            from parrsb_spark.functions.spmv import salted_agg
+
+            contribs = salted_agg(joined, "vid", "c", "sum", "g")
+        else:
+            contribs = joined.groupBy("vid").agg(F.sum("c").alias("g"))
         # same association order as the SQL oracle:
         # (0.15 + 0.85*dang)/n + 0.85*gather
         return (

@@ -6,23 +6,63 @@ along it, splits the communicator in half.
 
 Spark-first: every round handles ALL groups in one pass —
 groupBy(part) min/max extents (one agg), per-group axis pick on the
-driver (tiny), one window rank split. Used as the RSB pre-partitioner
-(default rsb_pre=1, ref src/parrsb.c:38) and standalone.
+driver (tiny), one range-partitioned grouped rank split (grouped_rank —
+NEVER a partitionBy(part) window, whose whole group would land in one
+task; at round 0 that is the entire point set). Used as the RSB
+pre-partitioner (default rsb_pre=1, ref src/parrsb.c:38) via
+`axis_order`, and standalone.
 """
 
 from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from parrsb_spark.functions.ids import grouped_rank
 
 AXES = ["x", "y", "z"]
 
 
+def axis_order(state: DataFrame, active: list, dims: int = 3) -> DataFrame:
+    """Adds `_ord` = each row's coordinate on its group's widest axis
+    (argmax extent per `part` group — ref get_axis_len, src/rcb.c:7-37).
+    One groupBy(part) min/max aggregate; the per-group axis pick is a
+    driver-side loop over one tiny row per group."""
+    spark = state.sparkSession
+    axes = AXES[:dims]
+    aggs = []
+    for a in axes:
+        aggs += [F.min(a).alias(f"min_{a}"), F.max(a).alias(f"max_{a}")]
+    ext = {
+        r["part"]: r
+        for r in state.filter(F.col("part").isin(active)).groupBy("part").agg(*aggs).collect()
+    }
+    axis_rows = []
+    for g in active:
+        r = ext.get(g)
+        if r is None:
+            continue
+        lens = [(r[f"max_{a}"] or 0.0) - (r[f"min_{a}"] or 0.0) for a in axes]
+        axis_rows.append((g, axes[lens.index(max(lens))]))
+    axis_df = F.broadcast(spark.createDataFrame(axis_rows, schema="part long, axis string"))
+    val = F.when(F.col("axis") == "x", F.col("x")).when(F.col("axis") == "y", F.col("y"))
+    if dims > 2:
+        val = val.otherwise(F.col("z"))
+    else:
+        val = val.otherwise(F.lit(0.0))
+    return (
+        state.join(axis_df, "part", "left")
+        .withColumn("_ord", F.coalesce(val, F.lit(0.0)))
+        .drop("axis")
+    )
+
+
 def _halve_groups(state: DataFrame, np_of: dict[int, int], order_col: str) -> tuple[DataFrame, dict[int, int]]:
     """Split every active group on `order_col` at the reference's
-    n0 = ⌈np/2⌉ proportional point; inactive groups pass through."""
+    n0 = ⌈np/2⌉ proportional point; inactive groups pass through.
+    The rank is the scale-safe range-partitioned grouped_rank."""
     spark = state.sparkSession
     active = sorted(g for g, npg in np_of.items() if npg > 1)
     sizes = {
@@ -41,10 +81,8 @@ def _halve_groups(state: DataFrame, np_of: dict[int, int], order_col: str) -> tu
         if npg <= 1:
             new_np[g * 2] = npg
     splits = F.broadcast(spark.createDataFrame(split_rows, schema="part long, target0 long"))
-    w = Window.partitionBy("part").orderBy(order_col, "vid")
     act = (
-        state.filter(F.col("part").isin(active))
-        .withColumn("rn", F.row_number().over(w))
+        grouped_rank(state.filter(F.col("part").isin(active)), "part", [order_col, "vid"], "rn")
         .join(splits, "part")
         .withColumn(
             "part", F.col("part") * 2 + F.when(F.col("rn") <= F.col("target0"), 0).otherwise(1)
@@ -62,29 +100,9 @@ def rcb_partition(coords: DataFrame, k: int, dims: int = 3) -> DataFrame:
     spark = coords.sparkSession
     state = coords.withColumn("part", F.lit(0).cast("long")).localCheckpoint(eager=True)
     np_of = {0: k}
-    axes = AXES[:dims]
     while any(v > 1 for v in np_of.values()):
         active = sorted(g for g, npg in np_of.items() if npg > 1)
-        aggs = []
-        for a in axes:
-            aggs += [F.min(a).alias(f"min_{a}"), F.max(a).alias(f"max_{a}")]
-        ext = {
-            r["part"]: r
-            for r in state.filter(F.col("part").isin(active)).groupBy("part").agg(*aggs).collect()
-        }
-        axis_rows = []
-        for g in active:
-            r = ext[g]
-            lens = [(r[f"max_{a}"] or 0.0) - (r[f"min_{a}"] or 0.0) for a in axes]
-            axis_rows.append((g, axes[lens.index(max(lens))]))
-        axis_df = F.broadcast(spark.createDataFrame(axis_rows, schema="part long, axis string"))
-        val = F.when(F.col("axis") == "x", F.col("x")).when(F.col("axis") == "y", F.col("y"))
-        if dims > 2:
-            val = val.otherwise(F.col("z"))
-        else:
-            val = val.otherwise(F.lit(0.0))
-        tagged = state.join(axis_df, "part", "left").withColumn("_ord", val).drop("axis")
-        tagged = tagged.withColumn("_ord", F.coalesce("_ord", F.lit(0.0)))
+        tagged = axis_order(state, active, dims)
         state, np_of = _halve_groups(tagged, np_of, "_ord")
         state = state.drop("_ord").localCheckpoint(eager=True)
     leaves = sorted(np_of)

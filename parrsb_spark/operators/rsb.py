@@ -8,9 +8,11 @@ recurse on the half.
 Spark-first redesign: NO communicator recursion. All 2^cut groups live
 in one DataFrame with a `part` column; each cut runs ONE grouped
 Lanczos (see fiedler.py) over the union of all active subgraphs, then
-ONE window split per group. Shuffle rounds per cut are constant in the
-number of groups — at 1000 executors the cut over 512 groups costs the
-same number of stages as the cut over 1.
+ONE rank-exact split per group via the range-partitioned grouped rank
+(functions/ids.py grouped_rank — bounded work per task even when group
+0 is the whole graph; never a partitionBy(grp) window). Shuffle rounds
+per cut are constant in the number of groups — at 1000 executors the
+cut over 512 groups costs the same number of stages as the cut over 1.
 
 Split semantics mirror the reference's processor binning
 (`get_bin`, ref src/rsb.c:231-242: id < (np+1)/2 → bin 0): a k-way
@@ -25,10 +27,11 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from parrsb_spark.config import EngineOptions, default_options
+from parrsb_spark.functions.ids import grouped_rank
 from parrsb_spark.operators.components import connected_components
 from parrsb_spark.operators.fiedler import fiedler
 from parrsb_spark.sources.edges import vertices_from_edges
@@ -42,9 +45,11 @@ def rsb_partition(
     check_components: bool = False,
     lineage=None,
     seed_parts: DataFrame | None = None,
+    coords: DataFrame | None = None,
 ) -> DataFrame:
     """Returns (vid, part) with part ∈ [0, k) and |part sizes| within ±1 of
-    each other along every bisection (reference balance contract).
+    each other along every bisection (reference balance contract; waived
+    when `opts.repair` moves vertices to reconnect halves).
 
     `seed_parts` = (vid, part) optional initial grouping: each seed group
     is partitioned into k pieces INDEPENDENTLY but CONCURRENTLY — all
@@ -53,7 +58,16 @@ def rsb_partition(
     tagged-partitioning driver uses this with part = dense tag index;
     the reference routes each tag to a comm_split process block instead,
     ref src/parrsb.c:379-561). Output parts are globally unique:
-    seed_group_rank * k + local_part."""
+    seed_group_rank * k + local_part.
+
+    `coords` = optional (vid, x, y, z): enables the `opts.rsb_pre`
+    geometric pre-partitioner (ref src/rsb.c:282-292 — RCB/RIB before
+    every spectral solve, default on upstream). In the grouped-DataFrame
+    design the pre-partition's surviving effect is the Fiedler INIT
+    vector: its "first half" becomes the per-cut RCB (rsb_pre=1) or RIB
+    (rsb_pre=2) half, so Lanczos starts from the geometric bisection.
+    Auto-off without coords, matching ref src/parrsb.c:250 (the webgraph
+    case has no coordinates)."""
     opts = opts or default_options()
     spark = edges.sparkSession
     if seed_parts is not None:
@@ -76,11 +90,19 @@ def rsb_partition(
         membership = state.filter(F.col("part").isin(active)).select(
             "vid", F.col("part").alias("grp")
         )
-        fied = fiedler(sym, membership=membership, opts=opts, symmetrized=True)
+        init_order = _pre_partition_order(state, coords, active, opts)
+        fied = fiedler(
+            sym, membership=membership, opts=opts, symmetrized=True, init_order=init_order
+        )
 
-        # rank-exact median cut per group (E6; window = the parallel sort)
-        w = Window.partitionBy("grp").orderBy("fiedler", "vid")
+        # rank-exact median cut per group (E6; the parallel-sort analogue).
+        # grouped_rank is the scale-safe form: range-partitioned rank, NOT a
+        # per-group window — at cut 0 group 0 is the entire graph and a
+        # partitionBy(grp) window would funnel it through one task.
         sizes = {r["grp"]: r["n"] for r in fied.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+        if opts.verbose:
+            # the parrsb_print per-cut progress line (ref src/rsb.c:276-300)
+            print(f"rsb: cut={cut} active_groups={len(active)} n={sum(sizes.values())}")
         split_rows = []
         new_np: dict[int, int] = {}
         for g in active:
@@ -94,7 +116,7 @@ def rsb_partition(
         splits = F.broadcast(
             spark.createDataFrame(split_rows, schema="grp long, target0 long")
         )
-        ranked = fied.withColumn("rn", F.row_number().over(w)).join(splits, "grp")
+        ranked = grouped_rank(fied, "grp", ["fiedler", "vid"], "rn").join(splits, "grp")
         assigned = ranked.select(
             "vid",
             "grp",
@@ -112,7 +134,11 @@ def rsb_partition(
         for g, npg in np_of.items():
             if npg <= 1:
                 new_np[g * 2] = npg
-        state = assigned.union(inactive).localCheckpoint(eager=True)
+        state = assigned.union(inactive)
+        if opts.repair:
+            new_parts = sorted({g * 2 for g in active} | {g * 2 + 1 for g in active})
+            state = _repair_parts(sym, state, new_parts)
+        state = state.localCheckpoint(eager=True)
         np_of = new_np
 
         if check_components:
@@ -146,6 +172,12 @@ def _tie_break_boundary(sym: DataFrame, ranked: DataFrame, assigned: DataFrame) 
     and the band's half-0 quota goes to the highest-scoring vertices
     (ties on score → vid, fully deterministic). Sizes are unchanged.
 
+    The tie test is TOLERANCE-based (|f_hi − f_lo| ≤ 1e-9·scale), not
+    float-exact: distributed summation nondeterminism can perturb a tied
+    plateau by an ulp, and an exact-equality test would silently skip the
+    cut-aware re-assignment on symmetric graphs. Determinism is preserved
+    by the score/vid ordering of the re-assignment itself.
+
     Cost discipline: one tiny per-group aggregate decides whether ANY
     group has a boundary tie; the common untied case pays nothing else.
     """
@@ -159,7 +191,13 @@ def _tie_break_boundary(sym: DataFrame, ranked: DataFrame, assigned: DataFrame) 
             F.max("fiedler").alias("f_hi"),
             F.count("*").alias("n_b"),
         )
-        .filter((F.col("n_b") == 2) & (F.col("f_lo") == F.col("f_hi")))
+        .filter(
+            (F.col("n_b") == 2)
+            & (
+                F.col("f_hi") - F.col("f_lo")
+                <= F.lit(1e-9) * F.greatest(F.abs("f_lo"), F.abs("f_hi"))
+            )
+        )
         .select("grp", F.col("f_lo").alias("f_tie"))
         .collect()
     )
@@ -169,9 +207,13 @@ def _tie_break_boundary(sym: DataFrame, ranked: DataFrame, assigned: DataFrame) 
     from parrsb_spark.operators.fiedler import _lit_map
 
     tied_groups = sorted(tie_map)
+    f_tie_col = _lit_map(tie_map)[F.col("grp")]
     is_tied = (
         F.col("grp").isin(tied_groups)
-        & (F.col("fiedler") == _lit_map(tie_map)[F.col("grp")])
+        & (
+            F.abs(F.col("fiedler") - f_tie_col)
+            <= F.lit(1e-9) * F.greatest(F.abs(f_tie_col), F.abs("fiedler"))
+        )
     )
     a = assigned.withColumn("tied", is_tied).localCheckpoint(eager=True)
     fixed = a.filter(~F.col("tied")).select(
@@ -190,11 +232,16 @@ def _tie_break_boundary(sym: DataFrame, ranked: DataFrame, assigned: DataFrame) 
         int(r["grp"]): int(r["q"])
         for r in tied.groupBy("grp").agg(F.sum(F.lit(1) - F.col("half")).alias("q")).collect()
     }
-    w_t = Window.partitionBy("grp").orderBy(F.desc("score"), F.asc("vid"))
-    re_t = (
+    scored = (
         tied.join(nbr_half, "vid", "left")
         .withColumn("score", F.coalesce("score", F.lit(0)))
-        .withColumn("trn", F.row_number().over(w_t))
+        # grouped_rank orders ascending; rank by (−score, vid) for the
+        # desc-score / asc-vid order without a per-group window (a tied
+        # band CAN be an entire group — cliques, regular graphs)
+        .withColumn("_ns", -F.col("score"))
+    )
+    re_t = (
+        grouped_rank(scored, "grp", ["_ns", "vid"], "trn")
         .withColumn(
             "half",
             F.when(F.col("trn") <= _lit_map(quota)[F.col("grp")], 0).otherwise(1),
@@ -202,6 +249,75 @@ def _tie_break_boundary(sym: DataFrame, ranked: DataFrame, assigned: DataFrame) 
         .select("vid", "grp", "fiedler", "rn", "half", "tied")
     )
     return a.filter(~F.col("tied")).union(re_t).drop("tied")
+
+
+def _pre_partition_order(
+    state: DataFrame, coords: DataFrame | None, active: list, opts: EngineOptions
+) -> DataFrame | None:
+    """The rsb_pre hook (ref src/rsb.c:282-292): per cut, compute every
+    active group's geometric order — widest-axis coordinate (rsb_pre=1,
+    the RCB round) or inertial-axis projection (rsb_pre=2, the RIB
+    round) — and feed it to the Fiedler init as `init_order`. rsb_pre=0
+    (the reference's globalId parallel sort) is the default vid order.
+    Auto-off without coords (ref src/parrsb.c:250)."""
+    if coords is None or opts.rsb_pre == 0:
+        return None
+    st = state.filter(F.col("part").isin(active)).join(coords, "vid")
+    if opts.rsb_pre == 1:
+        from parrsb_spark.operators.rcb import axis_order
+
+        ordered = axis_order(st, active)
+    elif opts.rsb_pre == 2:
+        from parrsb_spark.operators.rib import inertial_order
+
+        ordered = inertial_order(st, active)
+    else:
+        raise ValueError(f"unknown rsb_pre {opts.rsb_pre!r} (0 | 1 | 2)")
+    return ordered.select("vid", F.col("_ord").alias("ord"))
+
+
+def _repair_parts(sym: DataFrame, state: DataFrame, parts: list) -> DataFrame:
+    """Reconnect disconnected halves (the `repair` option, ref
+    parRSB.h:28 / src/parrsb.c:33): every non-largest connected
+    component of each part in `parts` moves to the part's bisection
+    sibling (part = g·2+h → sibling g·2+(1−h)) — one pass per cut, same
+    trade-off as the reference (connectivity restored at the cost of
+    exact balance; its balance fix-up runs afterwards, ours is the next
+    cut's rank-exact split).
+
+    One CC run over the union of all part-subgraphs serves every part at
+    once (components cannot span parts because cross-part edges are
+    filtered), keeping the repair pass constant in the number of parts.
+    """
+    m = state
+    e_in = (
+        sym.join(m.select(F.col("vid").alias("src"), F.col("part").alias("p1")), "src")
+        .join(m.select(F.col("vid").alias("dst"), F.col("part").alias("p2")), "dst")
+        .filter(F.col("p1") == F.col("p2"))
+        .select("src", "dst")
+    )
+    cc = connected_components(e_in, vertices=state.select("vid"))
+    sized = cc.join(state, "vid")
+    in_scope = sized.filter(F.col("part").isin(parts))
+    keep = (
+        in_scope.groupBy("part", "comp")
+        .agg(F.count("*").alias("n"))
+        .groupBy("part")
+        .agg(F.max(F.struct(F.col("n"), (-F.col("comp")).alias("nc"))).alias("m"))
+        .select("part", (-F.col("m.nc")).alias("keep_comp"))
+    )
+    sibling = F.col("part") + 1 - 2 * F.pmod(F.col("part"), F.lit(2))
+    repaired = (
+        in_scope.join(F.broadcast(keep), "part")
+        .select(
+            "vid",
+            F.when(F.col("comp") == F.col("keep_comp"), F.col("part"))
+            .otherwise(sibling)
+            .alias("part"),
+        )
+    )
+    untouched = state.filter(~F.col("part").isin(parts))
+    return repaired.union(untouched.select("vid", "part"))
 
 
 def _component_check(edges: DataFrame, state: DataFrame, cut: int) -> None:

@@ -24,15 +24,52 @@ def _dot(a: str, b: str):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
 
+def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
+    """Two-phase distributed top-k: local top-k WITHIN each physical
+    partition first (no shuffle — group = (partition, q_id), bounded by
+    the partition size), then the global rank over the ≤ k·P survivors.
+    A plain partitionBy(q_id) window would funnel one query's ENTIRE
+    corpus scan through a single task. Same result, deterministic ties
+    by vec_id."""
+    wl = Window.partitionBy("_pid", "q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    pruned = (
+        scored.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_lr", F.row_number().over(wl))
+        .filter(F.col("_lr") <= k)
+        .drop("_pid", "_lr")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return pruned.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def _norm(col: str):
     return F.sqrt(F.aggregate(col, F.lit(0.0), lambda a, x: a + x * x))
 
 
-def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10) -> DataFrame:
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    broadcast_queries: bool | None = None,
+) -> DataFrame:
     """(q_id, vec_id, cos, rank) — exact top-k by cosine per query.
 
     corpus = (vec_id, embedding), queries = (q_id, embedding). Ties break
-    on vec_id for full determinism."""
+    on vec_id for full determinism.
+
+    The query side is broadcast ONLY while it fits
+    (`EngineOptions.broadcast_threshold_rows`): a broadcast of an
+    oversized query set would OOM every executor, so past the threshold
+    the plan falls back to a partitioned cartesian (each task scores a
+    corpus-slice × query-slice block). Pass `broadcast_queries`
+    explicitly to skip the gating count job."""
+    if broadcast_queries is None:
+        from parrsb_spark.config import default_options
+
+        broadcast_queries = (
+            queries.limit(default_options().broadcast_threshold_rows + 1).count()
+            <= default_options().broadcast_threshold_rows
+        )
     c = corpus.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     ).withColumn("nv", _norm("v"))
@@ -40,12 +77,11 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10) -> DataFrame
         "q_id", F.col("embedding").cast("array<double>").alias("qv")
     ).withColumn("nq", _norm("qv"))
     scored = (
-        c.crossJoin(F.broadcast(q))
+        c.crossJoin(F.broadcast(q) if broadcast_queries else q)
         .withColumn("cos", _dot("v", "qv") / (F.col("nv") * F.col("nq")))
         .select("q_id", "vec_id", F.round("cos", 9).alias("cos"))
     )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _topk_per_query(scored, k)
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
@@ -108,5 +144,4 @@ def ann_lsh_topk(
         .withColumn("cos", _dot("v", "qv") / (F.col("nv") * F.col("nq")))
         .select("q_id", "vec_id", F.round("cos", 9).alias("cos"))
     )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _topk_per_query(scored, k)

@@ -135,12 +135,16 @@ def assign_solid_to_parts(
         )
         w = Window.partitionBy("vid").orderBy(F.desc("cnt"), F.asc("part"))
         pick = votes.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-        # quota: accept up to (quota - taken) per part, best-connected first
-        wq = Window.partitionBy("part").orderBy(F.desc("cnt"), F.asc("vid"))
+        # quota: accept up to (quota - taken) per part, best-connected first.
+        # grouped_rank, not a partitionBy(part) window: a part's frontier can
+        # be arbitrarily large at scale (the per-vid vote window above is
+        # fine — its groups are single-vertex vote lists).
         cap_rows = [(p, max(quota - taken.get(p, 0), 0)) for p in taken]
         caps = F.broadcast(spark.createDataFrame(cap_rows, ["part", "cap"]))
+        from parrsb_spark.functions.ids import grouped_rank
+
         accepted = (
-            pick.withColumn("qrn", F.row_number().over(wq))
+            grouped_rank(pick.withColumn("_nc", -F.col("cnt")), "part", ["_nc", "vid"], "qrn")
             .join(caps, "part")
             .filter(F.col("qrn") <= F.col("cap"))
             .select("vid", "part")

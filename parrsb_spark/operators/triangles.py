@@ -19,14 +19,16 @@ from pyspark.sql import functions as F
 from parrsb_spark.functions.spmv import degrees, symmetrize
 from parrsb_spark.sources.edges import vertices_from_edges
 
-_BIG = 1 << 32
-
 
 def _oriented(edges: DataFrame) -> DataFrame:
-    """Edges oriented by the total order key deg*2^32 + vid (unique)."""
+    """Edges oriented by the total order key struct(deg, vid) — struct
+    comparison is lexicographic and overflow-free. (A packed
+    `deg*2^32 + vid` long would let vid bits bleed into deg bits at
+    vid ≥ 2³², silently corrupting the orientation order on a
+    10¹²-vertex graph.)"""
     sym = symmetrize(edges)
     deg = degrees(edges)
-    okey = (F.col("deg") * _BIG + F.col("vid")).alias("okey")
+    okey = F.struct(F.col("deg").alias("d"), F.col("vid").alias("v")).alias("okey")
     d = deg.select("vid", okey)
     e = (
         sym.join(d.select(F.col("vid").alias("src"), F.col("okey").alias("k_src")), "src")

@@ -103,11 +103,22 @@ def hard_truncate(df):
     originStats/originConstraints and resets sizeInBytes to the session
     default. Trade-off: output-partitioning metadata is lost (callers
     pay one re-shuffle next use), so reach for this only in loops whose
-    plans square the state (both-sides joins, pandas cogroups)."""
-    from pyspark.sql.classic.dataframe import DataFrame as _CDF
+    plans square the state (both-sides joins, pandas cogroups).
 
+    Implementation note: the fast path uses classic-mode PySpark
+    internals (`_jdf.localCheckpoint` / `internalCreateDataFrame`),
+    which do not exist under Spark Connect and may shift across minor
+    PySpark versions — so it is guarded, with a public-API fallback
+    (eager localCheckpoint + re-create from the Python RDD; same
+    stats-severing effect, one extra serialization hop)."""
     spark = df.sparkSession
-    jdf = df._jdf.localCheckpoint(True)
-    jrdd = jdf.queryExecution().toRdd()
-    jdf2 = spark._jsparkSession.internalCreateDataFrame(jrdd, jdf.schema(), False)
-    return _CDF(jdf2, spark)
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame as _CDF
+
+        jdf = df._jdf.localCheckpoint(True)
+        jrdd = jdf.queryExecution().toRdd()
+        jdf2 = spark._jsparkSession.internalCreateDataFrame(jrdd, jdf.schema(), False)
+        return _CDF(jdf2, spark)
+    except Exception:
+        ck = df.localCheckpoint(eager=True)
+        return spark.createDataFrame(ck.rdd, schema=ck.schema)

@@ -6,7 +6,7 @@ into segments where the gap between consecutive values exceeds the
 tolerance, then re-sort each segment by y (then z) and split again;
 points left in one final segment share a vertex id
 (ref /root/reference/src/con-unique-vertices.c:445-505; the per-segment
-tolerance walk is :200-283).
+tolerance walk is find_segments, :303-319).
 
 The webgraph engine matches on exact canonical URLs (sources/extract),
 but the general kernel is part of the reference surface, so here is the
@@ -15,7 +15,7 @@ Spark form:
 - Dimension 0 is a RANGE-partitioned sort (repartitionByRange), with
   per-partition gap segmentation and a driver-side boundary merge (one
   tiny row per partition — the comm-boundary exchange analogue of the
-  reference's parallel transfer at :471-489). No global single-task
+  reference's talk_to_neighbor at :264-300). No global single-task
   sort at any point.
 - Dimensions 1..d-1 window within the current segment: after the first
   split, segments are small and numerous, so partitionBy(seg) windows
@@ -26,6 +26,18 @@ Spark form:
 Matching is tolerance-CHAINING (transitive within a sorted run), same
 as the reference: two points in one segment may differ by more than tol
 if connected through intermediate points.
+
+Two tolerance modes, both from the reference:
+- ABSOLUTE (scale=None): consecutive points chain while the coordinate
+  gap ≤ tol — the fixed-tolerance form.
+- ADAPTIVE (C2, scale=(id, dx)): the reference's actual gap test
+  (find_segments, :303-310) is RELATIVE to the local mesh scale:
+  break when gap² > tol² · min(dx_a, dx_b), where dx = each point's
+  SQUARED min distance to its element neighbors
+  (find_min_neighbor_distance, ref src/con.c:68-103 — computed here by
+  `min_neighbor_distance`). Heterogeneous-density meshes (fine region
+  next to coarse region) need this: one global tol either glues the
+  fine region or splits the coarse one.
 """
 
 from __future__ import annotations
@@ -35,6 +47,38 @@ from pyspark.sql import functions as F
 
 from parrsb_spark.functions.ids import dense_ids_scalable
 
+_INF = float("inf")
+
+
+def min_neighbor_distance(
+    points: DataFrame,
+    elem_col: str,
+    coord_cols: list[str],
+    id_col: str = "vid",
+) -> DataFrame:
+    """(id_col, dx) — per point, the SQUARED min distance to the other
+    points of its element (ref find_min_neighbor_distance,
+    src/con.c:68-103). The reference restricts to NEIGHBOR_MAP
+    (element-topology edges); the min over ALL same-element points is
+    equal for non-degenerate elements (diagonals are never the min) and
+    needs no topology table. Self-join fan-out is bounded by the element
+    arity (4 or 8 points), so the pass is linear in mesh size."""
+    cols = [elem_col, id_col, *coord_cols]
+    a = points.select(*cols)
+    b = points.select(
+        elem_col, F.col(id_col).alias("_oid"), *[F.col(c).alias(f"_o{c}") for c in coord_cols]
+    )
+    d2 = None
+    for c in coord_cols:
+        t = (F.col(c) - F.col(f"_o{c}")) ** 2
+        d2 = t if d2 is None else d2 + t
+    return (
+        a.join(b, elem_col)
+        .filter(F.col(id_col) != F.col("_oid"))
+        .groupBy(id_col)
+        .agg(F.min(d2).alias("dx"))
+    )
+
 
 def fuzzy_vertex_ids(
     points: DataFrame,
@@ -42,32 +86,76 @@ def fuzzy_vertex_ids(
     tol: float,
     id_col: str = "vid",
     out_col: str = "gid",
+    scale: DataFrame | None = None,
 ) -> DataFrame:
     """(id_col, <coords>) → (id_col, out_col): points whose coordinates
-    chain within `tol` along every dimension share out_col (= min id of
-    the matched set — dense ids can be layered on with dense_ids)."""
+    chain within tolerance along every dimension share out_col (= min id
+    of the matched set — dense ids can be layered on with dense_ids).
+
+    `scale` = optional (id_col, dx) from `min_neighbor_distance`:
+    switches the gap test to the reference's adaptive form
+    gap² > tol²·min(dx_a, dx_b) (C2). Points missing from `scale` get
+    dx = +inf (always chain — matches the reference, where every mesh
+    point has a neighbor distance)."""
+    adaptive = scale is not None
     c0 = coord_cols[0]
-    df = points.repartitionByRange(F.col(c0), F.col(id_col)).withColumn(
+    t2 = tol * tol
+
+    df = points
+    if adaptive:
+        df = df.join(
+            scale.select(id_col, F.col("dx").alias("_dx")), id_col, "left"
+        ).withColumn("_dx", F.coalesce("_dx", F.lit(_INF)))
+    else:
+        df = df.withColumn("_dx", F.lit(_INF))
+
+    def gap_break(c_col, lag_c, lag_dx) -> F.Column:
+        """1 iff consecutive sorted points do NOT chain."""
+        if adaptive:
+            return (
+                (F.col(c_col) - lag_c) ** 2 > t2 * F.least(F.col("_dx"), lag_dx)
+            ).cast("int")
+        return (F.col(c_col) - lag_c > tol).cast("int")
+
+    df = df.repartitionByRange(F.col(c0), F.col(id_col)).withColumn(
         "_pid", F.spark_partition_id()
     )
     w_in = Window.partitionBy("_pid").orderBy(c0, id_col)
-    df = df.withColumn("_lag", F.lag(c0).over(w_in))
-    # boundary merge: does partition p's first value chain to p-1's last?
-    bounds = {
-        int(r["_pid"]): (float(r["lo"]), float(r["hi"]))
-        for r in df.groupBy("_pid").agg(F.min(c0).alias("lo"), F.max(c0).alias("hi")).collect()
+    df = df.withColumn("_lag", F.lag(c0).over(w_in)).withColumn(
+        "_lagdx", F.lag("_dx").over(w_in)
+    )
+    # boundary merge: does partition p's first point chain to p-1's last?
+    # One tiny row per partition (first/last coord + its dx via min_by /
+    # max_by on the (coord, id) order) — the talk_to_neighbor analogue.
+    border = {
+        int(r["_pid"]): r
+        for r in df.groupBy("_pid")
+        .agg(
+            F.min(c0).alias("lo"),
+            F.max(c0).alias("hi"),
+            F.min_by("_dx", F.struct(F.col(c0), F.col(id_col))).alias("lodx"),
+            F.max_by("_dx", F.struct(F.col(c0), F.col(id_col))).alias("hidx"),
+        )
+        .collect()
     }
     # chain each partition to the nearest NON-EMPTY predecessor (range
     # partitions can be empty on sparse data)
     merge_pids = []
-    prev_hi = None
-    for p in sorted(bounds):
-        if prev_hi is not None and bounds[p][0] - prev_hi <= tol:
-            merge_pids.append(p)
-        prev_hi = bounds[p][1]
+    prev_hi, prev_hidx = None, None
+    for p in sorted(border):
+        r = border[p]
+        if prev_hi is not None:
+            gap = float(r["lo"]) - prev_hi
+            if adaptive:
+                chains = gap * gap <= t2 * min(float(r["lodx"]), prev_hidx)
+            else:
+                chains = gap <= tol
+            if chains:
+                merge_pids.append(p)
+        prev_hi, prev_hidx = float(r["hi"]), float(r["hidx"])
     first_brk = F.when(F.col("_pid").isin(merge_pids), 0).otherwise(1) if merge_pids else F.lit(1)
     brk = F.when(F.col("_lag").isNull(), first_brk).otherwise(
-        (F.col(c0) - F.col("_lag") > tol).cast("int")
+        gap_break(c0, F.col("_lag"), F.col("_lagdx"))
     )
     run = Window.partitionBy("_pid").orderBy(c0, id_col).rowsBetween(Window.unboundedPreceding, 0)
     df = df.withColumn("_sub", F.sum(brk).over(run))
@@ -79,19 +167,20 @@ def fuzzy_vertex_ids(
         for r in df.groupBy("_pid").agg(F.max("_sub").alias("n")).collect()
     }
     offs, acc = {}, 0
-    for p in sorted(bounds):
+    for p in sorted(border):
         offs[p] = acc
         acc += cnts.get(p, 0)
     from parrsb_spark.operators.fiedler import _lit_map
 
     df = df.withColumn("_seg", F.col("_sub") + _lit_map(offs)[F.col("_pid")]).drop(
-        "_pid", "_lag", "_sub"
+        "_pid", "_lag", "_lagdx", "_sub"
     )
 
     for c in coord_cols[1:]:
         w = Window.partitionBy("_seg").orderBy(c, id_col)
         lag = F.lag(c).over(w)
-        brk = F.when(lag.isNull(), 1).otherwise((F.col(c) - lag > tol).cast("int"))
+        lagdx = F.lag("_dx").over(w)
+        brk = F.when(lag.isNull(), 1).otherwise(gap_break(c, lag, lagdx))
         run = w.rowsBetween(Window.unboundedPreceding, 0)
         df = df.withColumn("_sub", F.sum(brk).over(run))
         renum = dense_ids_scalable(

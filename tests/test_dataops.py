@@ -165,7 +165,7 @@ def test_ngram_jaccard_stop_shingle_cap(spark):
     rows = [(i, f"unique text body number {i} {i*7} {i*13}" + stop) for i in range(30)]
     rows[1] = (1, rows[0][1])  # exact dup of doc 0
     docs = spark.createDataFrame(rows, schema="doc_id long, text string")
-    capped = ngram_jaccard_pairs(docs, threshold=0.9, max_doc_frac=0.5)
+    capped = ngram_jaccard_pairs(docs, threshold=0.9, max_doc_frac=0.5, min_df_cap=1)
     uncapped = ngram_jaccard_pairs(docs, threshold=0.9, max_doc_frac=None)
     assert {(r["a"], r["b"]) for r in capped.collect()} == {(0, 1)}
     assert {(r["a"], r["b"]) for r in uncapped.collect()} == {(0, 1)}

@@ -12,8 +12,9 @@ def test_registry_shapes():
     assert len(qs) >= 25
     # every oracle key has a query
     assert set(osql) <= set(qs)
-    # non-SQL-expressible ops are the only omissions
-    assert set(qs) - set(osql) == {"graph_fiedler", "graph_rsb_parts"}
+    # EVERY query has an oracle (round 3: the spectral rows assert their
+    # SQL-checkable contracts — no rows-only entries remain)
+    assert set(qs) == set(osql)
     for name, fn in qs.items():
         assert callable(fn), name
     for name, sql in osql.items():

@@ -63,6 +63,27 @@ def main():
                 ctx = qp.splitlines()[max(0, i - 3):i + 6]
                 if not any("_cnt" in c or "_pid" in c for c in ctx):
                     failures.append(f"{qname}: SinglePartition exchange feeding a Window")
+    # flagship spectral plans: every row_number window must rank within a
+    # physical range partition (_pid), never a whole (grp)/(part) group in
+    # one task — the round-2 scale-killer. (A partitionBy(grp) funnel is
+    # hash partitioning with one populated key, so the SinglePartition
+    # check above can never catch it; inspect the window spec itself.)
+    from parrsb_spark import graphs
+    from parrsb_spark.config import EngineOptions
+    from parrsb_spark.operators.fiedler import fiedler
+    from parrsb_spark.operators.rsb import rsb_partition
+
+    gdf = graphs.to_df(spark, graphs.grid2d(4, 3)[0])
+    sopts = EngineOptions(rsb_max_iter=5, rsb_max_passes=1, rsb_tol=1e-4)
+    for sname, sdf in (
+        ("fiedler", fiedler(gdf, opts=sopts)),
+        ("rsb", rsb_partition(gdf, 2, opts=sopts)),
+    ):
+        sp = sdf._jdf.queryExecution().executedPlan().toString()
+        for line in sp.splitlines():
+            if "row_number()" in line and "windowspecdefinition" in line:
+                if not re.search(r"_pid#\d+", line):
+                    failures.append(f"{sname}: whole-group window: {line.strip()[:140]}")
     spark.stop()
     print("AUDIT FAILURES:", failures if failures else "none")
     sys.exit(1 if failures else 0)
