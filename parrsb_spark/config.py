@@ -47,6 +47,9 @@ class EngineOptions:
     rsb_max_passes: int = 50      # restart passes
     rsb_tol: float = 1e-5         # convergence tolerance
     rsb_mg_factor: int = 2        # multigrid coarsening factor (RQI path)
+    rsb_mg_grammian: int = 0      # Rayleigh–Ritz (grammian) refinement of the
+                                  # inverse-path iterate between passes
+                                  # (ref parRSB.h:39, default 0)
     mg_tail_threshold: int = 2000  # MG levels below this total size run as a
                                    # collected numpy tail (driver-side V-cycle
                                    # continuation; coarse vectors are tiny)

@@ -333,8 +333,11 @@ def _inverse_driver(spark, e, base, sizes, opts, state0) -> DataFrame:
     Divergence from the reference: the full W/P Gram re-orthogonalization
     of the CG search direction (project(), fiedler.c:170-180) is omitted —
     flexible PCG with the Polak-Ribière beta (rz2/rzt, :163) is stable for
-    these SPD-on-1⊥ systems; and the optional grammian refinement
-    (fiedler.c:250-305, default-off upstream) is not implemented."""
+    these SPD-on-1⊥ systems. The optional grammian Rayleigh–Ritz
+    refinement (fiedler.c:250-305, default-off upstream) IS implemented:
+    `opts.rsb_mg_grammian=1` routes each inter-pass iterate through
+    `_grammian_refine` (distributed) / `np_inverse_fiedler(grammian=True)`
+    (the collected tail path)."""
     from parrsb_spark.functions.ids import dense_ids_scalable
     from parrsb_spark.operators.multigrid import mg_setup, mg_vcycle
 
@@ -390,6 +393,7 @@ def _inverse_driver(spark, e, base, sizes, opts, state0) -> DataFrame:
             f_np = np_inverse_fiedler(
                 A, z0, miter, max(1, opts.rsb_max_passes), tol,
                 factor=max(2, opts.rsb_mg_factor),
+                grammian=bool(opts.rsb_mg_grammian),
             )
             for i, val in enumerate(f_np):
                 out_rows.append((g, i + 1, float(val)))
@@ -423,6 +427,8 @@ def _inverse_driver(spark, e, base, sizes, opts, state0) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     groups = sorted(sizes)
+    grammian = bool(opts.rsb_mg_grammian)
+    zbasis, gram_M = None, {}
 
     f = z
     for pss in range(max(1, opts.rsb_max_passes)):
@@ -484,6 +490,14 @@ def _inverse_driver(spark, e, base, sizes, opts, state0) -> DataFrame:
         f = z
         if iters <= 1:
             break
+        if grammian and pss + 1 < max(1, opts.rsb_max_passes):
+            # Rayleigh–Ritz refinement of the next pass's initial vector
+            # (ref fiedler.c:250-305, rsb_mg_grammian=1). The reference
+            # runs the block on every pass including the last; refining
+            # only when another pass follows is output-identical (the
+            # refined z is consumed ONLY as the next project() input —
+            # inverse() returns the solve output y, not z).
+            z, zbasis, gram_M = _grammian_refine(lap_apply, z, zbasis, gram_M, groups)
 
     h.unpersist()
     # back to vids, unit-norm per group
@@ -493,6 +507,87 @@ def _inverse_driver(spark, e, base, sizes, opts, state0) -> DataFrame:
     return out.select(
         "vid", "grp", (F.col("fiedler") / _lit_map(nrm_d)[F.col("grp")]).alias("fiedler")
     ).localCheckpoint(eager=True)
+
+
+def _grammian_refine(lap_apply, z: DataFrame, zbasis, gram_M: dict, groups):
+    """Rayleigh–Ritz (grammian) refinement between inverse-iteration
+    passes (ref fiedler.c:250-305, ``rsb_mg_grammian``):
+
+    keep an orthonormal basis Z of the iterates (Gram-Schmidt the new z
+    against Z, normalize, append — ref :253-280), form M = Zᵀ L Z (ref
+    :281-293), take M's smallest eigenvector v serially on the driver
+    (the ``inv_power_serial`` analogue — numpy eigh here, same eigenpair
+    as the reference's serial inverse power iteration, like the
+    TQLI↔eigh swap on the Lanczos path), and restart from z = Z·v
+    (ref :296-303).
+
+    Distributed form: the basis lives as ONE array column `zs` on the
+    (grp, r) vector table (the Lanczos-qs pattern); ⟨Z_j, z⟩ and the
+    new M column come from posexplode aggregations (one tiny row per
+    basis index per group). M is built INCREMENTALLY — the reference
+    recomputes all N² entries with N Laplacian applies per pass; old
+    basis columns never change, so one apply (the new column) plus one
+    aggregation reproduces the same matrix.
+    """
+    if zbasis is None:
+        zbasis = z.select("grp", "r", F.array("z").alias("zs")).localCheckpoint(eager=True)
+        w = lap_apply(z, "z")
+        m00 = _group_scalars(w, {"m": F.sum(F.col("z") * F.col("_w"))})
+        gram_M = {g: np.array([[m00.get(g, {"m": 0.0})["m"]]]) for g in groups}
+        return z, zbasis, gram_M
+    zb = zbasis.join(z, ["grp", "r"]).localCheckpoint(eager=True)
+    # rhs_j = <Z_j, z> per group (ref :256-262)
+    pe = zb.select("grp", "z", F.posexplode("zs").alias("j", "zj"))
+    rhs: dict[int, list[float]] = {g: [0.0] * gram_M[g].shape[0] for g in groups}
+    for r in pe.groupBy("grp", "j").agg(F.sum(F.col("zj") * F.col("z")).alias("v")).collect():
+        rhs[int(r["grp"])][int(r["j"])] = float(r["v"] or 0.0)
+    proj = F.aggregate(
+        F.zip_with("zs", _lit_arr_map(rhs)[F.col("grp")], lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    zo = zb.withColumn("zo", F.col("z") - proj)
+    nn = _group_scalars(zo, {"nn": F.sum(F.col("zo") ** 2)})
+    if all(v["nn"] <= 1e-20 for v in nn.values()):
+        # iterate already in span(Z) everywhere — basis complete, keep z
+        return z, zbasis, gram_M
+    nrm_d = {g: (math.sqrt(v["nn"]) if v["nn"] > 1e-20 else 1.0) for g, v in nn.items()}
+    zhat = zo.select(
+        "grp", "r", "zs", (F.col("zo") / _lit_map(nrm_d)[F.col("grp")]).alias("zh")
+    )
+    zbasis = zhat.select(
+        "grp", "r", F.concat("zs", F.array("zh")).alias("zs")
+    ).localCheckpoint(eager=True)
+    # extend M with the new column: w = L ẑ, M[k,N] = <Z_k, w> (ref :281-293)
+    wz = lap_apply(zhat.select("grp", "r", "zh"), "zh")
+    pe2 = (
+        wz.select("grp", "r", "_w")
+        .join(zbasis, ["grp", "r"])
+        .select("grp", "_w", F.posexplode("zs").alias("k", "zk"))
+    )
+    mcol: dict[int, dict[int, float]] = {g: {} for g in groups}
+    for r in pe2.groupBy("grp", "k").agg(F.sum(F.col("zk") * F.col("_w")).alias("m")).collect():
+        mcol[int(r["grp"])][int(r["k"])] = float(r["m"] or 0.0)
+    v_of = {}
+    for g in groups:
+        M = gram_M[g]
+        n_old = M.shape[0]
+        M2 = np.zeros((n_old + 1, n_old + 1))
+        M2[:n_old, :n_old] = M
+        for k in range(n_old + 1):
+            M2[k, n_old] = M2[n_old, k] = mcol[g].get(k, 0.0)
+        gram_M[g] = M2
+        _, vecs = np.linalg.eigh(M2)
+        v_of[g] = [float(x) for x in vecs[:, 0]]
+    # z = Z·v (ref :296-303), re-deflated against ones
+    zdot = F.aggregate(
+        F.zip_with("zs", _lit_arr_map(v_of)[F.col("grp")], lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    z_new = zbasis.select("grp", "r", zdot.alias("z"))
+    z_new = _ortho_mean(z_new, "z").localCheckpoint(eager=True)
+    return z_new, zbasis, gram_M
 
 
 def _fresh_state(st: DataFrame) -> DataFrame:

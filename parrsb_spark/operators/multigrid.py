@@ -190,21 +190,28 @@ def np_inverse_fiedler(
     mpass: int,
     tol: float,
     factor: int = 2,
+    grammian: bool = False,
 ) -> np.ndarray:
     """Serial inverse power iteration with MG-preconditioned projected CG —
     the reference arithmetic verbatim (ref inverse()/project(),
     src/fiedler.c:96-321), used as the per-group base case when a group
     fits on the driver (the analogue of the reference's serial TQLI at
     the bottom of the Lanczos path) and as the oracle for the
-    distributed PCG."""
+    distributed PCG. `grammian=True` adds the Rayleigh–Ritz iterate
+    refinement between passes (ref fiedler.c:250-305) with the exact
+    placement of the distributed `fiedler._grammian_refine` (skipped
+    after the final pass — output-identical, the refined z only feeds
+    the next pass's solve)."""
     levels = _np_tail_levels(A, factor)
     n = A.shape[0]
     z = z0.copy()
+    Z: list = []
+    M = None
 
     def ortho(v):
         return v - v.mean()
 
-    for _ in range(max(1, mpass)):
+    for pss in range(max(1, mpass)):
         # project(): PCG solve A x = z on 1-perp
         x = np.zeros(n)
         r = z.copy()
@@ -239,6 +246,31 @@ def np_inverse_fiedler(
         z = ortho(z)
         if iters <= 1:
             break
+        if grammian and pss + 1 < max(1, mpass):
+            if not Z:
+                Z = [z.copy()]
+                M = np.array([[float(z @ (A @ z))]])
+            else:
+                rhs = [float(zj @ z) for zj in Z]
+                zo = z.copy()
+                for r_, zj in zip(rhs, Z):
+                    zo -= r_ * zj
+                nn = float(zo @ zo)
+                if nn > 1e-20:
+                    zh = zo / math.sqrt(nn)
+                    Z.append(zh)
+                    N = len(Z)
+                    M2 = np.zeros((N, N))
+                    M2[: N - 1, : N - 1] = M
+                    w = A @ zh
+                    for k in range(N):
+                        M2[k, N - 1] = M2[N - 1, k] = float(Z[k] @ w)
+                    M = M2
+                    _, vecs = np.linalg.eigh(M)
+                    znew = np.zeros(n)
+                    for v_, zj in zip(vecs[:, 0], Z):
+                        znew += v_ * zj
+                    z = ortho(znew)
     return z
 
 

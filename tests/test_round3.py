@@ -249,6 +249,61 @@ def test_engine_options_all_consumed():
 
 
 # ---------------------------------------------------------------------------
+# grammian Rayleigh–Ritz refinement (inverse path, ref fiedler.c:250-305)
+
+
+def test_inverse_grammian_distributed_matches_numpy(spark):
+    """Distributed grammian Rayleigh–Ritz refinement (rsb_mg_grammian=1,
+    ref fiedler.c:250-305) must reproduce the serial reference arithmetic
+    step-for-step: mpass=3, miter=3, tol=0 → exactly 3 PCG steps per pass
+    and 2 refinements on both sides (same fixed-step protocol as
+    test_inverse_distributed_pcg_matches_numpy)."""
+    import numpy as np
+
+    from parrsb_spark.operators.multigrid import np_inverse_fiedler
+
+    n = 12
+    edges = [(i, i + 1) for i in range(1, n)]
+    df = graphs.to_df(spark, edges)
+    opts = EngineOptions(
+        rsb_max_iter=3, rsb_max_passes=3, rsb_tol=0.0,
+        rsb_algo="inverse", rsb_mg_grammian=1, mg_tail_threshold=4,
+    )
+    got = {r["vid"]: r["fiedler"] for r in fiedler(df, opts=opts, sign_fix=False).collect()}
+    A = np.zeros((n, n))
+    for u, v in edges:
+        A[u - 1, u - 1] += 1
+        A[v - 1, v - 1] += 1
+        A[u - 1, v - 1] -= 1
+        A[v - 1, u - 1] -= 1
+    z = np.arange(1, n + 1, dtype=float)
+    z[: n // 2] += 1000 * n
+    z = z - z.mean()
+    z = z / np.linalg.norm(z)
+    exp = np_inverse_fiedler(A, z, 3, 3, 0.0, 2, grammian=True)
+    exp = exp / np.linalg.norm(exp)
+    assert max(abs(got[i + 1] - exp[i]) for i in range(n)) < 1e-8
+    # and the refinement genuinely changed the trajectory vs grammian off
+    exp_off = np_inverse_fiedler(A, z, 3, 3, 0.0, 2, grammian=False)
+    exp_off = exp_off / np.linalg.norm(exp_off)
+    assert max(abs(exp[i] - exp_off[i]) for i in range(n)) > 1e-9
+
+
+def test_inverse_grammian_tail_path_smoke(spark):
+    """Grammian flag on the collected numpy-tail path (the default
+    mg_tail_threshold route) still cuts the two-clique bridge."""
+    edges = graphs.two_cliques_bridge(6)
+    df = graphs.to_df(spark, edges)
+    opts = EngineOptions(
+        rsb_algo="inverse", rsb_mg_grammian=1,
+        rsb_max_iter=40, rsb_max_passes=20, rsb_tol=1e-8,
+    )
+    parts = rsb_partition(df, 2, opts=opts)
+    assert edge_cut(df, parts) == 1
+    assert sorted(r["n"] for r in partition_sizes(parts).collect()) == [6, 6]
+
+
+# ---------------------------------------------------------------------------
 # repair
 
 
