@@ -59,7 +59,9 @@ class EngineOptions:
                                   # ref mat.c:829-846 — see functions/spmv.py)
 
     # --- Spark-specific knobs (no reference analogue) ---
-    shuffle_partitions: int = 32
+    # (shuffle parallelism is a SESSION concern — get_spark(shuffle_partitions=…)
+    # — not an engine option: kernels read the live session conf so one
+    # setting governs every plan)
     salt_degree_threshold: int = 100_000  # hub salting in pagerank above this
     broadcast_threshold_rows: int = 1_000_000  # similarity query-side broadcast cap
 

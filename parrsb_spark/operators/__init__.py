@@ -6,6 +6,7 @@ from parrsb_spark.operators.fiedler import fiedler
 from parrsb_spark.operators.rsb import rsb_partition
 from parrsb_spark.operators.rcb import rcb_partition
 from parrsb_spark.operators.rib import rib_partition
+from parrsb_spark.operators.partition import partition_graph
 from parrsb_spark.operators.stats import edge_cut, comm_volume, neighbor_census, partition_sizes
 from parrsb_spark.operators.contraction import contract_aliases, dense_renumber
 
@@ -20,6 +21,7 @@ __all__ = [
     "rsb_partition",
     "rcb_partition",
     "rib_partition",
+    "partition_graph",
     "edge_cut",
     "comm_volume",
     "neighbor_census",

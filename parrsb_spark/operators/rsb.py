@@ -322,22 +322,29 @@ def _repair_parts(sym: DataFrame, state: DataFrame, parts: list) -> DataFrame:
 
 def _component_check(edges: DataFrame, state: DataFrame, cut: int) -> None:
     """Per-half connectivity QA (ref check_disconnected_components,
-    src/rsb.c:46-59): warn when a bisection half is disconnected."""
+    src/rsb.c:46-59): warn when a bisection half is disconnected.
+
+    ONE grouped CC pass serves every part at once (cross-part edges are
+    filtered, so components never span parts) — constant stage count in
+    the number of parts, not a per-part driver loop."""
     import warnings
 
-    parts = [r["part"] for r in state.select("part").distinct().collect()]
     m = state.select("vid", F.col("part"))
     tagged = (
         edges.join(m.withColumnRenamed("vid", "src").withColumnRenamed("part", "p1"), "src")
         .join(m.withColumnRenamed("vid", "dst").withColumnRenamed("part", "p2"), "dst")
         .filter(F.col("p1") == F.col("p2"))
+        .select("src", "dst")
     )
-    for p in parts:
-        sub = tagged.filter(F.col("p1") == p).select("src", "dst")
-        vs = state.filter(F.col("part") == p).select("vid")
-        if vs.count() <= 1:
-            continue
-        cc = connected_components(sub, vertices=vs)
-        ncomp = cc.select("comp").distinct().count()
-        if ncomp > 1:
-            warnings.warn(f"rsb cut {cut}: part {p} has {ncomp} components", stacklevel=2)
+    cc = connected_components(tagged, vertices=state.select("vid"))
+    per_part = (
+        cc.join(m, "vid")
+        .groupBy("part")
+        .agg(F.countDistinct("comp").alias("ncomp"), F.count("*").alias("n"))
+        .filter((F.col("ncomp") > 1) & (F.col("n") > 1))
+        .collect()
+    )
+    for r in per_part:
+        warnings.warn(
+            f"rsb cut {cut}: part {r['part']} has {r['ncomp']} components", stacklevel=2
+        )

@@ -42,6 +42,15 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # iterative kernels localCheckpoint every burst; the superseded
+        # RDD blocks are only dropped after a DRIVER JVM GC notices the
+        # dead references (ContextCleaner is weak-ref driven), and with a
+        # large driver heap that can take tens of minutes — meanwhile the
+        # block manager carries dead iteration state. Default periodicGC
+        # is 30min; 2min keeps long Lanczos/PageRank drives from
+        # accumulating stale blocks (a measured source of run-to-run
+        # variance on the bench box).
+        .config("spark.cleaner.periodicGC.interval", "2min")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -234,9 +234,12 @@ def test_spmv_impl_unknown_raises(spark):
 
 
 def test_engine_options_all_consumed():
-    """No dead knobs: every EngineOptions field must be read somewhere in
-    the package (the round-2 finding was six silently-ignored fields)."""
+    """No dead knobs: every EngineOptions field must be read as an
+    ATTRIBUTE somewhere in the package (the round-2 finding was six
+    silently-ignored fields; a plain substring test is too weak — it
+    passed on a kwarg-name coincidence)."""
     import pathlib
+    import re
     from dataclasses import fields
 
     src = "".join(
@@ -245,7 +248,9 @@ def test_engine_options_all_consumed():
         if p.name != "config.py"
     )
     for f in fields(EngineOptions):
-        assert f.name in src, f"EngineOptions.{f.name} is consumed nowhere"
+        assert re.search(rf"\.{f.name}\b", src), (
+            f"EngineOptions.{f.name} is consumed nowhere"
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -315,6 +320,27 @@ def test_repair_moves_minority_components(spark):
     )
     got = {r["vid"]: r["part"] for r in _repair_parts(sym, state, [0, 1]).collect()}
     assert got == {1: 0, 2: 0, 3: 0, 4: 1, 5: 1, 6: 1}
+
+
+def test_component_check_warns_on_disconnected_half(spark):
+    """F5 QA probe: one grouped CC pass must flag exactly the parts that
+    are internally disconnected (no per-part driver loop)."""
+    import warnings
+
+    from parrsb_spark.operators.rsb import _component_check
+
+    edges = graphs.to_df(spark, [(1, 2), (2, 3), (3, 1), (4, 5), (5, 6), (6, 4)])
+    bad = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0), (4, 0), (5, 1), (6, 1)], schema="vid long, part long"
+    )
+    with pytest.warns(UserWarning, match="part 0 has 2 components"):
+        _component_check(edges, bad, cut=0)
+    good = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0), (4, 1), (5, 1), (6, 1)], schema="vid long, part long"
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        _component_check(edges, good, cut=0)
 
 
 def test_rsb_repair_smoke(spark):
