@@ -131,7 +131,15 @@ def minhash_lsh_pairs(
     """(a, b, jaccard) near-dup pairs via banded MinHash-LSH, verified with
     the exact shingle Jaccard. Sub-quadratic: candidates only form inside
     an LSH bucket (band collision), THEN the exact verify join runs on the
-    (tiny) candidate set — the 100 TB-safe plan shape."""
+    (tiny) candidate set — the 100 TB-safe plan shape.
+
+    Skew note: a hot bucket (m near-identical docs share a band hash)
+    expands to m² candidate rows in the self-join; both join sides are
+    sort-merge-joined on the band key, so AQE's both-side skew split
+    (enabled in session.py) decomposes a hot bucket into sub-partition
+    pairs — the same block decomposition checks.mirror_pairs builds
+    explicitly. The m² pairs themselves are the intended output of a
+    near-dup cluster, not waste."""
     # ONE cached shingle set feeds BOTH the signature path and the exact
     # verify path (round 2 computed the explode+distinct twice)
     sh = shingles(docs, n).cache()
