@@ -47,6 +47,14 @@ def connected_components(
     sym = symmetrize(edges).repartition(n_shuffle, "src").cache()
     verts = (vertices or vertices_from_edges(edges)).select("vid")
     labels = verts.withColumn("comp", F.col("vid")).repartition(n_shuffle, "vid").cache()
+    # measured-skew AQE gate (see session.iterative_conf): one degree
+    # probe over the cached edge side decides whether loop AQE's
+    # skew-join split is needed (hub past the salting threshold) or pure
+    # per-iteration re-planning overhead (hub-free case)
+    from parrsb_spark.config import default_options as _dflt
+
+    mx = sym.groupBy("src").agg(F.count("*").alias("d")).agg(F.max("d")).collect()[0][0]
+    loop_no_aqe = (mx or 0) <= _dflt().salt_degree_threshold
 
     def one_round(lbl: DataFrame) -> DataFrame:
         nbr_min = (
@@ -59,7 +67,7 @@ def connected_components(
         )
 
     done = 0
-    with iterative_conf(spark):
+    with iterative_conf(spark, disable_aqe=loop_no_aqe):
         while done < max_iter:
             prev = labels
             for _ in range(min(chain, max_iter - done)):

@@ -132,7 +132,16 @@ def fiedler(
         .repartition(n_shuffle, "vid")
         .cache()
     )
-    sizes = {r["grp"]: r["n"] for r in base.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    grp_stats = base.groupBy("grp").agg(
+        F.count("*").alias("n"), F.max("deg").alias("mx")
+    ).collect()
+    sizes = {r["grp"]: r["n"] for r in grp_stats}
+    # measured-skew gate for loop AQE (see session.iterative_conf): on a
+    # hub-free graph AQE is pure per-iteration re-planning overhead
+    # (278 → 97 jobs, 61s → 36s for a 25-iter solve at sf0.1); with a
+    # hub past the salting threshold its skew-join split earns its keep
+    max_deg = max((float(r["mx"] or 0.0) for r in grp_stats), default=0.0)
+    loop_no_aqe = max_deg <= opts.salt_degree_threshold
 
     # physical SpMV strategy (all three cross-validated by tests/test_spectral.py):
     #   join      — e ⋈ state + map-side-combined groupBy (default; the
@@ -211,12 +220,12 @@ def fiedler(
     if opts.rsb_algo == "inverse":
         # D9-D11: inverse power iteration with MG-preconditioned projected
         # CG (ref inverse(), src/fiedler.c:189-321; rsb_algo=1)
-        with iterative_conf(spark):
+        with iterative_conf(spark, disable_aqe=loop_no_aqe):
             f_df = _inverse_driver(spark, e, base, sizes, opts, state0)
     elif opts.rsb_algo == "lanczos":
         state = _fresh_state(state0)
         passes = max(1, opts.rsb_max_passes)
-        with iterative_conf(spark):
+        with iterative_conf(spark, disable_aqe=loop_no_aqe):
             for pss in range(passes):
                 state, alphas, betas, updates = _lanczos_pass(spmv_fn, state, sizes, opts)
                 f_df = _recombine(spark, state, alphas, betas, sizes, updates)

