@@ -35,8 +35,13 @@ def label_propagation(
     verts = (vertices or vertices_from_edges(edges)).select("vid")
     labels = verts.withColumn("label", F.col("vid"))
 
+    # measured-skew AQE gate (see session.iterative_conf): one degree
+    # probe on the cached edge side; hub-free graphs skip loop AQE
+    from parrsb_spark.config import default_options as _dflt
+
+    mx = sym.groupBy("src").agg(F.count("*").alias("d")).agg(F.max("d")).collect()[0][0]
     w = Window.partitionBy("vid").orderBy(F.desc("cnt"), F.asc("label"))
-    ctx = iterative_conf(spark)
+    ctx = iterative_conf(spark, disable_aqe=(mx or 0) <= _dflt().salt_degree_threshold)
     ctx.__enter__()
     for it in range(n_iter):
         nbr = sym.join(labels.select(F.col("vid").alias("src"), "label"), "src").select(
