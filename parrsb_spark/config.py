@@ -13,7 +13,10 @@ Every field here is CONSUMED somewhere (no dead knobs):
 - rsb_*        → operators/fiedler.py / rsb.py
 - spmv_impl    → operators/fiedler.py physical SpMV strategy
 - salt_degree_threshold   → operators/pagerank.py salted hub aggregation
-- broadcast_threshold_rows → operators/similarity.py query-side broadcast gate
+- broadcast_threshold_rows / broadcast_threshold_mb
+               → operators/similarity.py query-side broadcast gate
+- group_scalar_broadcast_threshold
+               → operators/fiedler.py literal-map vs broadcast-join scalars
 
 Deliberately ABSENT reference knobs:
 - ``levels`` (node-aware two-level hierarchy, ref parrsb.c:186-234) — a
@@ -64,6 +67,14 @@ class EngineOptions:
     # setting governs every plan)
     salt_degree_threshold: int = 100_000  # hub salting in pagerank above this
     broadcast_threshold_rows: int = 1_000_000  # similarity query-side broadcast cap
+    broadcast_threshold_mb: int = 256  # …and its BYTE cap: rows alone misprice
+                                       # wide embeddings (1M × 1024-dim doubles
+                                       # is a multi-GB explicit broadcast)
+    group_scalar_broadcast_threshold: int = 2048  # fiedler per-group scalars enter
+                                       # plans as literal maps up to this many
+                                       # groups; above it, one broadcast-joined
+                                       # scalars DF per update (plan size stays
+                                       # flat at deep RSB cuts)
 
     def __post_init__(self) -> None:
         self._apply_env()

@@ -3,7 +3,7 @@ from parrsb_spark.operators.components import connected_components, cc_bfs_singl
 from parrsb_spark.operators.triangles import triangle_counts, triangle_total
 from parrsb_spark.operators.labelprop import label_propagation
 from parrsb_spark.operators.fiedler import fiedler
-from parrsb_spark.operators.rsb import rsb_partition
+from parrsb_spark.operators.rsb import rsb_partition, rsb_resumable
 from parrsb_spark.operators.rcb import rcb_partition
 from parrsb_spark.operators.rib import rib_partition
 from parrsb_spark.operators.partition import partition_graph
@@ -19,6 +19,7 @@ __all__ = [
     "label_propagation",
     "fiedler",
     "rsb_partition",
+    "rsb_resumable",
     "rcb_partition",
     "rib_partition",
     "partition_graph",

@@ -70,6 +70,68 @@ def _lit_arr_map(d: dict) -> "F.Column":
     return F.create_map(*args)
 
 
+def _attach_group_scalars(
+    df: DataFrame,
+    scalars: dict[str, dict] | None = None,
+    arrays: dict[str, dict] | None = None,
+    threshold: int | None = None,
+) -> tuple[DataFrame, dict]:
+    """Per-group scalars (and array weights) for a plan, with an
+    automatic physical fallback. Returns (df', {name: Column}).
+
+    Below `threshold` groups (default
+    `EngineOptions.group_scalar_broadcast_threshold`): LITERAL map
+    lookups — pure codegen, zero exchanges per iteration (the
+    comm_allreduce-result analogue; the reference bakes the same values
+    into rank-local arrays, ref fiedler.c:473-506).
+
+    Above it: ONE broadcast-joined scalars DataFrame carries every
+    column. Literal maps grow the PLAN linearly in group count — a deep
+    RSB (k = 2¹⁴ → 8k active groups) would rebuild multi-thousand-entry
+    (for recombine: × basis-length) map literals several times per
+    iteration, so plan size / Catalyst compile time explodes while the
+    broadcast form stays flat: one tiny exchange reused by the iteration
+    plan. Crossover measured at tools/group_scalar_crossover.py.
+
+    In the broadcast branch the joined columns are named `_sc_<name>`;
+    callers that must preserve schema drop them via
+    `_drop_group_scalars` (selects with explicit column lists need
+    nothing)."""
+    scalars = scalars or {}
+    arrays = arrays or {}
+    if threshold is None:
+        threshold = default_options().group_scalar_broadcast_threshold
+    ngroups = max(
+        [len(d) for d in scalars.values()] + [len(d) for d in arrays.values()] + [0]
+    )
+    if ngroups <= threshold:
+        cols = {k: _lit_map(d)[F.col("grp")] for k, d in scalars.items()}
+        cols.update({k: _lit_arr_map(d)[F.col("grp")] for k, d in arrays.items()})
+        return df, cols
+    spark = df.sparkSession
+    snames, anames = sorted(scalars), sorted(arrays)
+    groups = sorted(set().union(*[set(d) for d in {**scalars, **arrays}.values()]))
+    rows = [
+        tuple(
+            [int(g)]
+            + [float(scalars[k].get(g, 0.0)) for k in snames]
+            + [[float(x) for x in arrays[k].get(g, [])] for k in anames]
+        )
+        for g in groups
+    ]
+    schema = "grp long" + "".join(f", _sc_{k} double" for k in snames) + "".join(
+        f", _sc_{k} array<double>" for k in anames
+    )
+    sdf = F.broadcast(spark.createDataFrame(rows, schema=schema))
+    out_cols = {k: F.col(f"_sc_{k}") for k in snames + anames}
+    return df.join(sdf, "grp"), out_cols
+
+
+def _drop_group_scalars(df: DataFrame) -> DataFrame:
+    sc = [c for c in df.columns if c.startswith("_sc_")]
+    return df.drop(*sc) if sc else df
+
+
 def fiedler(
     edges: DataFrame,
     membership: DataFrame | None = None,
@@ -188,12 +250,6 @@ def fiedler(
         init = grouped_rank(ibase, "grp", ["_iord", "vid"], "r").drop("_iord")
     else:
         init = grouped_rank(base, "grp", ["vid"], "r")
-    n_col = _lit_map({g: float(n) for g, n in sizes.items()})[F.col("grp")]
-    init = init.withColumn(
-        "x",
-        F.col("r").cast("double")
-        + F.when(F.col("r") <= n_col / 2, 1000.0 * n_col).otherwise(0.0),
-    ).select("vid", "grp", "deg", "x")
 
     # init mean/norm are CLOSED FORM — x is a permutation of
     # {r + 1000n·[r ≤ n/2] : r = 1..n}, so Σx and Σx² follow from n alone
@@ -211,10 +267,19 @@ def fiedler(
         nrm2 = float(n * sxx - sx * sx) / n if n else 0.0
         mu_d[g] = sx / n if n else 0.0
         nrm_d[g] = math.sqrt(nrm2) if nrm2 > _EPS else 1.0
-    grpc = F.col("grp")
-    state0 = init.withColumn(
-        "q", (F.col("x") - _lit_map(mu_d)[grpc]) / _lit_map(nrm_d)[grpc]
-    ).drop("x")
+    init, sc0 = _attach_group_scalars(
+        init,
+        {"n": {g: float(n) for g, n in sizes.items()}, "mu": mu_d, "nrm": nrm_d},
+        threshold=opts.group_scalar_broadcast_threshold,
+    )
+    n_col = sc0["n"]
+    x_col = (
+        F.col("r").cast("double")
+        + F.when(F.col("r") <= n_col / 2, 1000.0 * n_col).otherwise(0.0)
+    )
+    state0 = init.select(
+        "vid", "grp", "deg", ((x_col - sc0["mu"]) / sc0["nrm"]).alias("q")
+    )
     f_df = None
 
     if opts.rsb_algo == "inverse":
@@ -228,7 +293,7 @@ def fiedler(
         with iterative_conf(spark, disable_aqe=loop_no_aqe):
             for pss in range(passes):
                 state, alphas, betas, updates = _lanczos_pass(spmv_fn, state, sizes, opts)
-                f_df = _recombine(spark, state, alphas, betas, sizes, updates)
+                f_df = _recombine(spark, state, alphas, betas, sizes, updates, opts)
                 if pss + 1 >= passes:
                     # no restart can happen — the residual's only consumer is
                     # the restart decision, so skip its SpMV + collect (the
@@ -292,10 +357,10 @@ def _orthonormalize(df: DataFrame, in_col: str, out_col: str) -> DataFrame:
         nrm2 = float(r["ss"]) - r["n"] * mu * mu
         mu_d[int(r["grp"])] = mu
         nrm_d[int(r["grp"])] = math.sqrt(nrm2) if nrm2 > _EPS else 1.0
-    grp = F.col("grp")
-    return df.withColumn(
-        out_col, (F.col(in_col) - _lit_map(mu_d)[grp]) / _lit_map(nrm_d)[grp]
-    ).drop(in_col)
+    df, sc = _attach_group_scalars(df, {"mu": mu_d, "nrm": nrm_d})
+    return _drop_group_scalars(
+        df.withColumn(out_col, (F.col(in_col) - sc["mu"]) / sc["nrm"]).drop(in_col)
+    )
 
 
 def _spmv(e: DataFrame, state: DataFrame, col: str) -> DataFrame:
@@ -325,10 +390,12 @@ def _group_scalars(df: DataFrame, exprs: dict) -> dict:
 
 def _ortho_mean(df: DataFrame, col: str) -> DataFrame:
     """Deflate the constant vector: x ← x − mean_grp(x) (ref ortho,
-    fiedler.c:20-30) via a literal-map lookup."""
+    fiedler.c:20-30) via a literal-map lookup (or the broadcast-join
+    fallback past the group threshold)."""
     mu = _group_scalars(df, {"s": F.sum(col), "n": F.count(F.lit(1))})
     mu_d = {g: (v["s"] / v["n"] if v["n"] else 0.0) for g, v in mu.items()}
-    return df.withColumn(col, F.col(col) - _lit_map(mu_d)[F.col("grp")])
+    df, sc = _attach_group_scalars(df, {"mu": mu_d})
+    return _drop_group_scalars(df.withColumn(col, F.col(col) - sc["mu"]))
 
 
 def _inverse_driver(spark, e, base, sizes, opts, state0) -> DataFrame:
@@ -455,7 +522,10 @@ def _inverse_driver(spark, e, base, sizes, opts, state0) -> DataFrame:
             stw = lap_apply(st, "p")
             pw = _group_scalars(stw, {"pw": F.sum(F.col("p") * F.col("_w"))})
             alpha = {g: (rz1[g] / pw[g]["pw"] if abs(pw[g]["pw"]) > _EPS else 0.0) for g in groups}
-            a_col = _lit_map(alpha)[F.col("grp")]
+            stw, sca = _attach_group_scalars(
+                stw, {"alpha": alpha}, threshold=opts.group_scalar_broadcast_threshold
+            )
+            a_col = sca["alpha"]
             st = stw.select(
                 "grp", "r", "b", "zp",
                 (F.col("x") + a_col * F.col("p")).alias("x"),
@@ -482,7 +552,10 @@ def _inverse_driver(spark, e, base, sizes, opts, state0) -> DataFrame:
             )
             beta = {g: (sc[g]["rz2"] / rz1[g] if abs(rz1[g]) > _EPS else 0.0) for g in groups}
             rz1 = {g: sc[g]["rz1"] for g in groups}
-            b_col = _lit_map(beta)[F.col("grp")]
+            st, scb = _attach_group_scalars(
+                st, {"beta": beta}, threshold=opts.group_scalar_broadcast_threshold
+            )
+            b_col = scb["beta"]
             st = st.select(
                 "grp", "r", "b", "x", "rv", "zp",
                 (F.col("zp") + b_col * F.col("p")).alias("p"),
@@ -492,9 +565,10 @@ def _inverse_driver(spark, e, base, sizes, opts, state0) -> DataFrame:
         y = _ortho_mean(st.select("grp", "r", F.col("x").alias("y")), "y")
         nrm = _group_scalars(y, {"nn": F.sum(F.col("y") ** 2)})
         nrm_d = {g: (math.sqrt(v["nn"]) if v["nn"] > _EPS else 1.0) for g, v in nrm.items()}
-        z = y.select(
-            "grp", "r", (F.col("y") / _lit_map(nrm_d)[F.col("grp")]).alias("z")
+        y, scn = _attach_group_scalars(
+            y, {"nrm": nrm_d}, threshold=opts.group_scalar_broadcast_threshold
         )
+        z = y.select("grp", "r", (F.col("y") / scn["nrm"]).alias("z"))
         z = _hard_truncate(_ortho_mean(z, "z"))
         f = z
         if iters <= 1:
@@ -513,8 +587,11 @@ def _inverse_driver(spark, e, base, sizes, opts, state0) -> DataFrame:
     out = f.join(ridmap, ["grp", "r"]).select("vid", "grp", F.col("z").alias("fiedler"))
     nrm = _group_scalars(out, {"nn": F.sum(F.col("fiedler") ** 2)})
     nrm_d = {g: (math.sqrt(v["nn"]) if v["nn"] > _EPS else 1.0) for g, v in nrm.items()}
+    out, scn = _attach_group_scalars(
+        out, {"nrm": nrm_d}, threshold=opts.group_scalar_broadcast_threshold
+    )
     return out.select(
-        "vid", "grp", (F.col("fiedler") / _lit_map(nrm_d)[F.col("grp")]).alias("fiedler")
+        "vid", "grp", (F.col("fiedler") / scn["nrm"]).alias("fiedler")
     ).localCheckpoint(eager=True)
 
 
@@ -550,35 +627,45 @@ def _grammian_refine(lap_apply, z: DataFrame, zbasis, gram_M: dict, groups):
     rhs: dict[int, list[float]] = {g: [0.0] * gram_M[g].shape[0] for g in groups}
     for r in pe.groupBy("grp", "j").agg(F.sum(F.col("zj") * F.col("z")).alias("v")).collect():
         rhs[int(r["grp"])][int(r["j"])] = float(r["v"] or 0.0)
+    zb, scr = _attach_group_scalars(zb, arrays={"rhs": rhs})
     proj = F.aggregate(
-        F.zip_with("zs", _lit_arr_map(rhs)[F.col("grp")], lambda x, y: x * y),
+        F.zip_with("zs", scr["rhs"], lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
     zo = zb.withColumn("zo", F.col("z") - proj)
     nn = _group_scalars(zo, {"nn": F.sum(F.col("zo") ** 2)})
-    if all(v["nn"] <= 1e-20 for v in nn.values()):
+    # per-group guard (mirrors np_inverse_fiedler's nn > 1e-20 branch):
+    # a group whose iterate is already in span(Z) keeps its z/basis/M
+    # UNCHANGED — appending its near-zero residual would give M a ~zero
+    # column whose ~0 eigenvalue becomes the selected smallest pair and
+    # the restart vector collapses to noise. Only `live` groups append.
+    live = sorted(g for g, v in nn.items() if v["nn"] > 1e-20)
+    if not live:
         # iterate already in span(Z) everywhere — basis complete, keep z
         return z, zbasis, gram_M
-    nrm_d = {g: (math.sqrt(v["nn"]) if v["nn"] > 1e-20 else 1.0) for g, v in nn.items()}
-    zhat = zo.select(
+    dead = sorted(set(groups) - set(live))
+    nrm_d = {g: math.sqrt(nn[g]["nn"]) for g in live}
+    zhat = zo.filter(F.col("grp").isin(live)).select(
         "grp", "r", "zs", (F.col("zo") / _lit_map(nrm_d)[F.col("grp")]).alias("zh")
     )
-    zbasis = zhat.select(
-        "grp", "r", F.concat("zs", F.array("zh")).alias("zs")
-    ).localCheckpoint(eager=True)
-    # extend M with the new column: w = L ẑ, M[k,N] = <Z_k, w> (ref :281-293)
+    appended = zhat.select("grp", "r", F.concat("zs", F.array("zh")).alias("zs"))
+    if dead:
+        appended = appended.union(zbasis.filter(F.col("grp").isin(dead)))
+    zbasis = appended.localCheckpoint(eager=True)
+    # extend live groups' M with the new column: w = L ẑ,
+    # M[k,N] = <Z_k, w> (ref :281-293)
     wz = lap_apply(zhat.select("grp", "r", "zh"), "zh")
     pe2 = (
         wz.select("grp", "r", "_w")
         .join(zbasis, ["grp", "r"])
         .select("grp", "_w", F.posexplode("zs").alias("k", "zk"))
     )
-    mcol: dict[int, dict[int, float]] = {g: {} for g in groups}
+    mcol: dict[int, dict[int, float]] = {g: {} for g in live}
     for r in pe2.groupBy("grp", "k").agg(F.sum(F.col("zk") * F.col("_w")).alias("m")).collect():
         mcol[int(r["grp"])][int(r["k"])] = float(r["m"] or 0.0)
     v_of = {}
-    for g in groups:
+    for g in live:
         M = gram_M[g]
         n_old = M.shape[0]
         M2 = np.zeros((n_old + 1, n_old + 1))
@@ -588,14 +675,20 @@ def _grammian_refine(lap_apply, z: DataFrame, zbasis, gram_M: dict, groups):
         gram_M[g] = M2
         _, vecs = np.linalg.eigh(M2)
         v_of[g] = [float(x) for x in vecs[:, 0]]
-    # z = Z·v (ref :296-303), re-deflated against ones
+    # z = Z·v for live groups (ref :296-303), re-deflated against ones;
+    # dead groups carry their previous z through untouched
+    zb_live, scv = _attach_group_scalars(
+        zbasis.filter(F.col("grp").isin(live)), arrays={"v": v_of}
+    )
     zdot = F.aggregate(
-        F.zip_with("zs", _lit_arr_map(v_of)[F.col("grp")], lambda x, y: x * y),
+        F.zip_with("zs", scv["v"], lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    z_new = zbasis.select("grp", "r", zdot.alias("z"))
-    z_new = _ortho_mean(z_new, "z").localCheckpoint(eager=True)
+    z_new = _ortho_mean(zb_live.select("grp", "r", zdot.alias("z")), "z")
+    if dead:
+        z_new = z_new.union(z.filter(F.col("grp").isin(dead)).select("grp", "r", "z"))
+    z_new = z_new.localCheckpoint(eager=True)
     return z_new, zbasis, gram_M
 
 
@@ -693,18 +786,24 @@ def _lanczos_pass(spmv_fn, state, sizes, opts):
             else:
                 active[g] = False
                 alpha_d[g], beta_d[g], mu_d[g], upd_d[g] = 0.0, 1.0, 0.0, 0.0
-        # per-group scalars as LITERAL map lookups — pure codegen, no
-        # broadcast-join round-trip per iteration (the comm_allreduce
-        # result is baked into the next plan, like the reference bakes
-        # alpha/beta into rank-local arrays, ref fiedler.c:473-506)
-        grp = F.col("grp")
-        updc = _lit_map(upd_d)[grp] > 0.5
-        b_col = _lit_map(beta_d)[grp]
+        # per-group scalars enter the next plan as literal-map lookups
+        # (pure codegen, no broadcast-join round-trip per iteration — the
+        # comm_allreduce result baked in like the reference's rank-local
+        # arrays, ref fiedler.c:473-506) or, past the group-count
+        # threshold, as ONE broadcast-joined scalars DF (plan size flat
+        # at deep RSB cuts) — see _attach_group_scalars
+        st, sc = _attach_group_scalars(
+            st,
+            {"alpha": alpha_d, "beta": beta_d, "mu": mu_d, "upd": upd_d},
+            threshold=opts.group_scalar_broadcast_threshold,
+        )
+        updc = sc["upd"] > 0.5
+        b_col = sc["beta"]
         new_q = F.col("u") / b_col  # normalized current vector
         u_next = (
-            (F.col("_Lq") - _lit_map(alpha_d)[grp] * F.col("u")) / b_col
+            (F.col("_Lq") - sc["alpha"] * F.col("u")) / b_col
             - b_col * F.col("qprev")
-            - _lit_map(mu_d)[grp]
+            - sc["mu"]
         )
         state = st.select(
             "vid",
@@ -737,7 +836,7 @@ def _tridiag_small_eig(alpha: list[float], beta: list[float]) -> tuple[float, np
     return float(vals[0]), vecs[:, 0]
 
 
-def _recombine(spark, state, alphas, betas, sizes, updates) -> DataFrame:
+def _recombine(spark, state, alphas, betas, sizes, updates, opts=None) -> DataFrame:
     """fiedler = Σ_j evec[j]·q_j per group (ref fiedler.c:513-561), then
     per-group unit normalization.
 
@@ -761,9 +860,10 @@ def _recombine(spark, state, alphas, betas, sizes, updates) -> DataFrame:
         # len(w) == len(alphas) == qlen; pad defensively so zip_with
         # never null-pads
         weights[g] = (w + [0.0] * qlen)[:qlen]
-    wvec = _lit_arr_map(weights)[F.col("grp")]
+    thr = opts.group_scalar_broadcast_threshold if opts is not None else None
+    state, sc = _attach_group_scalars(state, arrays={"w": weights}, threshold=thr)
     dot = F.aggregate(
-        F.zip_with("qs", wvec, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        F.zip_with("qs", sc["w"], lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
     f = state.select(
         "vid",
@@ -771,11 +871,13 @@ def _recombine(spark, state, alphas, betas, sizes, updates) -> DataFrame:
         F.when(F.size("qs") > 0, dot).otherwise(F.col("u")).alias("f_raw"),
     )
     norms = f.groupBy("grp").agg(F.sqrt(F.sum(F.col("f_raw") ** 2)).alias("nrm")).collect()
-    nmap = _lit_map(
-        {int(r["grp"]): (float(r["nrm"]) if r["nrm"] and r["nrm"] > _EPS else 1.0) for r in norms}
-    )
+    nmap = {
+        int(r["grp"]): (float(r["nrm"]) if r["nrm"] and r["nrm"] > _EPS else 1.0)
+        for r in norms
+    }
+    f, scn = _attach_group_scalars(f, {"nrm": nmap}, threshold=thr)
     return (
-        f.select("vid", "grp", (F.col("f_raw") / nmap[F.col("grp")]).alias("fiedler"))
+        f.select("vid", "grp", (F.col("f_raw") / scn["nrm"]).alias("fiedler"))
         .localCheckpoint(eager=True)
     )
 

@@ -41,21 +41,21 @@ def label_propagation(
 
     mx = sym.groupBy("src").agg(F.count("*").alias("d")).agg(F.max("d")).collect()[0][0]
     w = Window.partitionBy("vid").orderBy(F.desc("cnt"), F.asc("label"))
-    ctx = iterative_conf(spark, disable_aqe=(mx or 0) <= _dflt().salt_degree_threshold)
-    ctx.__enter__()
-    for it in range(n_iter):
-        nbr = sym.join(labels.select(F.col("vid").alias("src"), "label"), "src").select(
-            F.col("dst").alias("vid"), "label"
-        )
-        counts = nbr.groupBy("vid", "label").agg(F.count("*").alias("cnt"))
-        pick = counts.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).select(
-            "vid", F.col("label").alias("new_label")
-        )
-        labels = labels.join(pick, "vid", "left").select(
-            "vid", F.coalesce("new_label", "label").alias("label")
-        )
-        if (it + 1) % checkpoint_interval == 0:
-            labels = labels.localCheckpoint(eager=True)
-    ctx.__exit__(None, None, None)
+    # `with` (not a bare __enter__) so an exception inside the loop still
+    # restores the session AQE/constraint-propagation conf on exit
+    with iterative_conf(spark, disable_aqe=(mx or 0) <= _dflt().salt_degree_threshold):
+        for it in range(n_iter):
+            nbr = sym.join(labels.select(F.col("vid").alias("src"), "label"), "src").select(
+                F.col("dst").alias("vid"), "label"
+            )
+            counts = nbr.groupBy("vid", "label").agg(F.count("*").alias("cnt"))
+            pick = counts.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).select(
+                "vid", F.col("label").alias("new_label")
+            )
+            labels = labels.join(pick, "vid", "left").select(
+                "vid", F.coalesce("new_label", "label").alias("label")
+            )
+            if (it + 1) % checkpoint_interval == 0:
+                labels = labels.localCheckpoint(eager=True)
     sym.unpersist()
     return labels

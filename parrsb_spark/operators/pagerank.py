@@ -49,47 +49,56 @@ def pagerank(
     with no convergence checks (oracle-parity mode); otherwise iterate to
     L1 delta < tol or max_iter, testing convergence every `chain` steps.
 
-    `opts` (EngineOptions) arms hub salting: when the max in-degree
-    exceeds `opts.salt_degree_threshold`, the per-iteration contribution
-    aggregation runs as the explicit two-stage salted form
-    (functions/spmv.py `salted_agg`). Spark's map-side partial
-    aggregation already combines hub keys per map task; the salted path
-    covers the residual funnel where ONE reduce key still receives a
-    partial from each of ~10⁵ map tasks. Detection is one extra setup
-    aggregate, so it only runs when opts is supplied."""
+    Hub salting is armed BY DEFAULT: when the max in-degree exceeds
+    `salt_degree_threshold` (from `opts` or the env-overridable
+    defaults), the per-iteration contribution aggregation runs as the
+    explicit two-stage salted form (functions/spmv.py `salted_agg`).
+    Spark's map-side partial aggregation already combines hub keys per
+    map task; the salted path covers the residual funnel where ONE
+    reduce key still receives a partial from each of ~10⁵ map tasks.
+    The in-degree probe is folded into the degree aggregation the setup
+    already pays (one union-groupBy computes out- AND in-degree) — zero
+    extra jobs, so it no longer hides behind an opts gate."""
     spark = edges.sparkSession
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
     d = damping
 
     e = edges.select("src", "dst").repartition(n_shuffle, "src").cache()
-    use_salt = False
-    if opts is not None:
-        max_in = (
-            e.groupBy("dst").agg(F.count("*").alias("c")).agg(F.max("c")).collect()[0][0]
-        )
-        use_salt = max_in is not None and max_in > opts.salt_degree_threshold
     verts = (vertices or vertices_from_edges(e)).select("vid")
-    outdeg = e.groupBy(F.col("src").alias("vid")).agg(F.count("*").alias("outdeg"))
+    deg = (
+        e.select(F.col("src").alias("vid"), F.lit(1).alias("_o"), F.lit(0).alias("_i"))
+        .unionAll(e.select(F.col("dst").alias("vid"), F.lit(0).alias("_o"), F.lit(1).alias("_i")))
+        .groupBy("vid")
+        .agg(F.sum("_o").alias("outdeg"), F.sum("_i").alias("indeg"))
+    )
     state = (
-        verts.join(outdeg, "vid", "left")
-        .select("vid", F.coalesce("outdeg", F.lit(0)).alias("outdeg"))
+        verts.join(deg, "vid", "left")
+        .select(
+            "vid",
+            F.coalesce("outdeg", F.lit(0)).alias("outdeg"),
+            F.coalesce("indeg", F.lit(0)).alias("indeg"),
+        )
         .repartition(n_shuffle, "vid")
         .cache()
     )
-    srow = state.agg(F.count("*").alias("n"), F.max("outdeg").alias("mx")).collect()[0]
+    srow = state.agg(
+        F.count("*").alias("n"), F.max("outdeg").alias("mx"), F.max("indeg").alias("mi")
+    ).collect()[0]
     n = srow["n"]
     if n == 0:
         return state.select("vid", F.lit(0.0).alias("pr"))
-    # measured-skew AQE gate (see session.iterative_conf): max out-degree
-    # IS the per-src edge-row concentration the skew-join split exists
-    # for; below the salting threshold, loop AQE is pure re-planning
-    # overhead. One agg, folded into the row count the setup already paid.
     from parrsb_spark.config import default_options as _dflt
 
     thr = (opts or _dflt()).salt_degree_threshold
+    # max IN-degree is the reduce-funnel concentration salting exists for
+    use_salt = float(srow["mi"] or 0) > thr
+    # measured-skew AQE gate (see session.iterative_conf): max OUT-degree
+    # IS the per-src edge-row concentration the skew-JOIN split exists
+    # for; below the salting threshold, loop AQE is pure re-planning
+    # overhead. One agg, folded into the row count the setup already paid.
     loop_no_aqe = float(srow["mx"] or 0) <= thr
 
-    ranks = state.withColumn("pr", F.lit(1.0 / n))
+    ranks = state.select("vid", "outdeg").withColumn("pr", F.lit(1.0 / n))
 
     def one_iter(r: DataFrame) -> DataFrame:
         # dangling mass as a broadcast 1-row aggregate — no driver round-trip

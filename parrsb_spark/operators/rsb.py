@@ -46,6 +46,8 @@ def rsb_partition(
     lineage=None,
     seed_parts: DataFrame | None = None,
     coords: DataFrame | None = None,
+    ckpt_dir: str | None = None,
+    max_cuts: int | None = None,
 ) -> DataFrame:
     """Returns (vid, part) with part ∈ [0, k) and |part sizes| within ±1 of
     each other along every bisection (reference balance contract; waived
@@ -67,7 +69,19 @@ def rsb_partition(
     vector: its "first half" becomes the per-cut RCB (rsb_pre=1) or RIB
     (rsb_pre=2) half, so Lanczos starts from the geometric bisection.
     Auto-off without coords, matching ref src/parrsb.c:250 (the webgraph
-    case has no coordinates)."""
+    case has no coordinates).
+
+    `ckpt_dir` = optional durable checkpoint root: every cut's (vid,
+    part) state is snapshotted via plans/lineage.checkpoint_state (the
+    north-rule resume contract; the reference's analogue is its
+    per-level metric stack as the resume record, ref src/metrics.c).
+    A rerun with the same `ckpt_dir` RESUMES after the newest cut whose
+    lineage row exists — the per-cut fan-out bookkeeping (`np_of`) is a
+    pure function of (k, seed groups, cut) and is re-derived, not
+    stored. `max_cuts` bounds the TOTAL bisection depth (resume-aware);
+    an early exit returns the intermediate (vid, part) state (part ids
+    are tree-node ids, not dense leaves) for a later resumed run to
+    finish."""
     opts = opts or default_options()
     spark = edges.sparkSession
     if seed_parts is not None:
@@ -79,6 +93,16 @@ def rsb_partition(
         state = verts.withColumn("part", F.lit(0).cast("long"))
         np_of = {0: k}
     cut = 0
+    ckpt_log = None
+    if ckpt_dir is not None:
+        from parrsb_spark.plans.lineage import LineageLog, latest_checkpoint
+
+        ckpt_log = LineageLog(spark, ckpt_dir)
+        resume = latest_checkpoint(spark, ckpt_dir, "rsb")
+        if resume is not None:
+            done_cut, state = resume
+            cut = done_cut + 1
+            np_of = _simulate_np(np_of, cut)
     # symmetrize once for every cut (fiedler would otherwise re-run the
     # distinct-over-2|E| shuffle per bisection level)
     from parrsb_spark.functions.spmv import symmetrize
@@ -138,7 +162,14 @@ def rsb_partition(
         if opts.repair:
             new_parts = sorted({g * 2 for g in active} | {g * 2 + 1 for g in active})
             state = _repair_parts(sym, state, new_parts)
-        state = state.localCheckpoint(eager=True)
+        if ckpt_log is not None:
+            # durable snapshot + lineage row (write-state-then-log: a crash
+            # between the two leaves the PREVIOUS cut resumable)
+            from parrsb_spark.plans.lineage import checkpoint_state
+
+            state = checkpoint_state(state, ckpt_log, "rsb", cut)
+        else:
+            state = state.localCheckpoint(eager=True)
         np_of = new_np
 
         if check_components:
@@ -147,6 +178,8 @@ def rsb_partition(
             for g, n_g in sizes.items():
                 lineage.record(kernel="rsb", iteration=cut, partition_id=int(g), rows=int(n_g))
         cut += 1
+        if max_cuts is not None and cut >= max_cuts and any(v > 1 for v in np_of.values()):
+            return state.select("vid", "part")
 
     # leaves → dense 0..k-1 (order-preserving)
     leaves = sorted(np_of)
@@ -156,6 +189,41 @@ def rsb_partition(
         )
     )
     return state.join(remap, "part").select("vid", F.col("dense").alias("part"))
+
+
+def _simulate_np(np0: dict[int, int], cuts: int) -> dict[int, int]:
+    """Re-derive the per-group remaining-processor map after `cuts`
+    bisection rounds — the same arithmetic as the driver loop (get_bin
+    halving, ref src/rsb.c:231-242), so a resumed run needs no stored
+    bookkeeping beyond (k, seed groups, cut)."""
+    np_of = dict(np0)
+    for _ in range(cuts):
+        new: dict[int, int] = {}
+        for g, npg in np_of.items():
+            if npg > 1:
+                n0 = (npg + 1) // 2
+                new[g * 2] = n0
+                new[g * 2 + 1] = npg - n0
+            else:
+                new[g * 2] = npg
+        np_of = new
+    return np_of
+
+
+def rsb_resumable(
+    edges: DataFrame,
+    k: int,
+    ckpt_dir: str,
+    opts: EngineOptions | None = None,
+    **kw,
+) -> DataFrame:
+    """RSB with durable checkpoint/resume (SURVEY §7 M3): snapshots every
+    cut under `ckpt_dir`, and a rerun after an interruption continues
+    from the newest complete cut, producing a part map identical to the
+    uninterrupted run (tested kill-after-cut-1 in tests/test_round4.py).
+    Thin alias of `rsb_partition(..., ckpt_dir=...)` — the sibling of
+    plans/lineage.pagerank_resumable."""
+    return rsb_partition(edges, k, opts=opts, ckpt_dir=ckpt_dir, **kw)
 
 
 def _tie_break_boundary(sym: DataFrame, ranked: DataFrame, assigned: DataFrame) -> DataFrame:

@@ -46,6 +46,28 @@ def _norm(col: str):
     return F.sqrt(F.aggregate(col, F.lit(0.0), lambda a, x: a + x * x))
 
 
+def _should_broadcast_queries(queries: DataFrame) -> bool:
+    """Byte-estimated broadcast gate for an explicit query-side broadcast
+    (which bypasses autoBroadcastJoinThreshold entirely). ONE tiny agg
+    job: row count + max embedding width; estimated size = rows ×
+    (dim × 8 + 48 struct overhead). Broadcast only while BOTH the row cap
+    (`broadcast_threshold_rows`) and the byte cap
+    (`broadcast_threshold_mb`) hold — a 1M-row set of 1024-dim doubles
+    is ~8 GB and would OOM every executor even though the row cap alone
+    admits it."""
+    from parrsb_spark.config import default_options
+
+    opts = default_options()
+    r = queries.agg(
+        F.count(F.lit(1)).alias("n"), F.max(F.size("embedding")).alias("d")
+    ).collect()[0]
+    n, d = int(r["n"] or 0), int(r["d"] or 0)
+    est_bytes = n * (d * 8 + 48)
+    return n <= opts.broadcast_threshold_rows and est_bytes <= opts.broadcast_threshold_mb * (
+        1 << 20
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -58,18 +80,14 @@ def cosine_topk(
     on vec_id for full determinism.
 
     The query side is broadcast ONLY while it fits
-    (`EngineOptions.broadcast_threshold_rows`): a broadcast of an
-    oversized query set would OOM every executor, so past the threshold
-    the plan falls back to a partitioned cartesian (each task scores a
-    corpus-slice × query-slice block). Pass `broadcast_queries`
-    explicitly to skip the gating count job."""
+    (`EngineOptions.broadcast_threshold_rows` AND the byte estimate of
+    `broadcast_threshold_mb` — see `_should_broadcast_queries`): a
+    broadcast of an oversized query set would OOM every executor, so
+    past either threshold the plan falls back to a partitioned
+    cartesian (each task scores a corpus-slice × query-slice block).
+    Pass `broadcast_queries` explicitly to skip the gating agg job."""
     if broadcast_queries is None:
-        from parrsb_spark.config import default_options
-
-        broadcast_queries = (
-            queries.limit(default_options().broadcast_threshold_rows + 1).count()
-            <= default_options().broadcast_threshold_rows
-        )
+        broadcast_queries = _should_broadcast_queries(queries)
     c = corpus.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     ).withColumn("nv", _norm("v"))
@@ -126,11 +144,24 @@ def lsh_signatures(vecs: DataFrame, n_planes: int = 12, seed: int = 42, id_col: 
 
 
 def ann_lsh_topk(
-    corpus: DataFrame, queries: DataFrame, k: int = 10, n_planes: int = 8, seed: int = 42
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+    broadcast_queries: bool | None = None,
 ) -> DataFrame:
     """(q_id, vec_id, cos, rank) — approximate top-k: only corpus vectors in
     the query's LSH bucket are scored. Recall < 1 by design; raise recall
-    with multi-probe (fewer planes) or multiple tables (vary seed)."""
+    with multi-probe (fewer planes) or multiple tables (vary seed).
+
+    The query-side broadcast is gated exactly like `cosine_topk`
+    (`_should_broadcast_queries`); past the threshold the candidate join
+    stays a plain shuffle equi-join on the bucket key — it is already
+    keyed, so the fallback shuffles instead of OOMing (no crossJoin
+    risk either way)."""
+    if broadcast_queries is None:
+        broadcast_queries = _should_broadcast_queries(queries)
     sig_c = lsh_signatures(corpus, n_planes, seed).withColumnRenamed("id", "vec_id")
     sig_q = lsh_signatures(queries, n_planes, seed, id_col="q_id").withColumnRenamed("id", "q_id")
     c = corpus.select("vec_id", F.col("embedding").cast("array<double>").alias("v")).join(
@@ -140,7 +171,7 @@ def ann_lsh_topk(
         sig_q, "q_id"
     ).withColumn("nq", _norm("qv"))
     scored = (
-        c.join(F.broadcast(q), "bucket")
+        c.join(F.broadcast(q) if broadcast_queries else q, "bucket")
         .withColumn("cos", _dot("v", "qv") / (F.col("nv") * F.col("nq")))
         .select("q_id", "vec_id", F.round("cos", 9).alias("cos"))
     )

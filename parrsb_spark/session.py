@@ -132,9 +132,15 @@ def hard_truncate(df):
     Implementation note: the fast path uses classic-mode PySpark
     internals (`_jdf.localCheckpoint` / `internalCreateDataFrame`),
     which do not exist under Spark Connect and may shift across minor
-    PySpark versions — so it is guarded, with a public-API fallback
-    (eager localCheckpoint + re-create from the Python RDD; same
-    stats-severing effect, one extra serialization hop)."""
+    PySpark versions. The guard is NARROW (ImportError/AttributeError —
+    the two ways the internals can be absent) so a genuine classic-path
+    failure surfaces instead of silently demoting to the fallback; the
+    fallback itself is the plain eager localCheckpoint (Connect-safe —
+    `.rdd` is also unavailable there), which truncates the plan but
+    keeps origin stats: loops that square the state should cap their
+    iteration count under Connect (none of the built-in kernels hit
+    this — Connect is not a supported deployment of the hot loops,
+    just a don't-crash path)."""
     spark = df.sparkSession
     try:
         from pyspark.sql.classic.dataframe import DataFrame as _CDF
@@ -143,6 +149,5 @@ def hard_truncate(df):
         jrdd = jdf.queryExecution().toRdd()
         jdf2 = spark._jsparkSession.internalCreateDataFrame(jrdd, jdf.schema(), False)
         return _CDF(jdf2, spark)
-    except Exception:
-        ck = df.localCheckpoint(eager=True)
-        return spark.createDataFrame(ck.rdd, schema=ck.schema)
+    except (ImportError, AttributeError):
+        return df.localCheckpoint(eager=True)

@@ -55,23 +55,46 @@ def min_neighbor_distance(
     elem_col: str,
     coord_cols: list[str],
     id_col: str = "vid",
+    topology: DataFrame | None = None,
 ) -> DataFrame:
-    """(id_col, dx) — per point, the SQUARED min distance to the other
+    """(id_col, dx) — per point, the SQUARED min distance to neighboring
     points of its element (ref find_min_neighbor_distance,
-    src/con.c:68-103). The reference restricts to NEIGHBOR_MAP
-    (element-topology edges); the min over ALL same-element points is
-    equal for non-degenerate elements (diagonals are never the min) and
-    needs no topology table. Self-join fan-out is bounded by the element
-    arity (4 or 8 points), so the pass is linear in mesh size."""
+    src/con.c:68-103).
+
+    Default (topology=None): min over ALL same-element point pairs. The
+    reference restricts to NEIGHBOR_MAP (element-topology edges); the
+    all-pairs min is equal for non-degenerate elements (diagonals are
+    never the min) and needs no topology table — but on DEGENERATE or
+    strongly-skewed elements a diagonal CAN be shorter than every edge,
+    giving a SMALLER dx than the reference and hence extra segment
+    breaks in adaptive fuzzy matching (more-conservative merging, never
+    wrong merges). Pass `topology` = (id_col, nbr) point-adjacency pairs
+    (directed is fine — symmetrized here) to reproduce the reference's
+    NEIGHBOR_MAP semantics exactly on such meshes.
+
+    Self-join fan-out is bounded by the element arity (4 or 8 points) —
+    or by the topology degree — so either pass is linear in mesh size."""
+    d2 = None
+    for c in coord_cols:
+        t = (F.col(c) - F.col(f"_o{c}")) ** 2
+        d2 = t if d2 is None else d2 + t
+    if topology is not None:
+        pairs = topology.select(id_col, "nbr")
+        pairs = pairs.union(
+            pairs.select(F.col("nbr").alias(id_col), F.col(id_col).alias("nbr"))
+        )
+        a = points.select(id_col, *coord_cols)
+        b = points.select(
+            F.col(id_col).alias("nbr"), *[F.col(c).alias(f"_o{c}") for c in coord_cols]
+        )
+        return (
+            pairs.join(a, id_col).join(b, "nbr").groupBy(id_col).agg(F.min(d2).alias("dx"))
+        )
     cols = [elem_col, id_col, *coord_cols]
     a = points.select(*cols)
     b = points.select(
         elem_col, F.col(id_col).alias("_oid"), *[F.col(c).alias(f"_o{c}") for c in coord_cols]
     )
-    d2 = None
-    for c in coord_cols:
-        t = (F.col(c) - F.col(f"_o{c}")) ** 2
-        d2 = t if d2 is None else d2 + t
     return (
         a.join(b, elem_col)
         .filter(F.col(id_col) != F.col("_oid"))
@@ -96,7 +119,11 @@ def fuzzy_vertex_ids(
     switches the gap test to the reference's adaptive form
     gap² > tol²·min(dx_a, dx_b) (C2). Points missing from `scale` get
     dx = +inf (always chain — matches the reference, where every mesh
-    point has a neighbor distance)."""
+    point has a neighbor distance). NOTE: the default (element-based)
+    `min_neighbor_distance` can return a smaller dx than the reference
+    on degenerate/skewed elements (diagonal shorter than every edge) —
+    extra segment breaks, i.e. conservative under-merging; pass its
+    `topology` table to reproduce the reference exactly there."""
     adaptive = scale is not None
     c0 = coord_cols[0]
     t2 = tol * tol

@@ -38,6 +38,8 @@ if sf_dir.endswith(".parquet"):
 else:
     edges = EQ.bipartite_edges(spark, sf_dir).cache()
 m = edges.count()
+extra_fields = {}
+spark.sparkContext.setJobGroup("kernel", kernel)
 t0 = time.time()
 if kernel == "pagerank":
     from parrsb_spark.operators.pagerank import pagerank
@@ -58,6 +60,30 @@ elif kernel == "fiedler":
     opts = EngineOptions(rsb_max_iter=MITER, rsb_max_passes=1, rsb_tol=1e-4)
     fiedler(edges, opts=opts).count()
     work = m * MITER
+    extra_fields["lanczos_iters"] = MITER
+elif kernel == "rsb":
+    import tempfile
+
+    from parrsb_spark.operators.rsb import rsb_partition
+    from parrsb_spark.plans.lineage import LineageLog
+    from parrsb_spark.config import EngineOptions
+
+    MITER = 10
+    K = 4
+    opts = EngineOptions(rsb_max_iter=MITER, rsb_max_passes=1, rsb_tol=1e-4, verbose=1)
+    lin = LineageLog(spark, tempfile.mkdtemp(prefix="rsb_lineage_"))
+    rsb_partition(edges, K, opts=opts, lineage=lin).groupBy("part").count().collect()
+    # per-cut wall: lineage rows carry monotonic wall_s per cut record
+    cuts = sorted(
+        {int(r["iteration"]): float(r["wall_s"]) for r in lin.read().collect()}.items()
+    )
+    prev = 0.0
+    extra_fields["per_cut_wall_s"] = []
+    for _it, w in cuts:
+        extra_fields["per_cut_wall_s"].append(round(w - prev, 2))
+        prev = w
+    # k=4 → 2 bisection levels, each a grouped Lanczos over every edge
+    work = m * MITER * 2
 elif kernel == "triangles":
     from parrsb_spark.operators.triangles import triangle_total
 
@@ -79,15 +105,18 @@ elif kernel == "extract":
 else:
     raise SystemExit(f"unknown kernel {kernel}")
 wall = time.time() - t0
+try:
+    jobs = len(spark.sparkContext.statusTracker().getJobIdsForGroup("kernel"))
+except Exception:
+    jobs = None
 spark.stop()
-print(
-    json.dumps(
-        {
-            "kernel": kernel,
-            "master": master,
-            "wall_s": round(wall, 2),
-            "edges": m,
-            "edges_per_sec": round(work / wall, 1),
-        }
-    )
-)
+out = {
+    "kernel": kernel,
+    "master": master,
+    "wall_s": round(wall, 2),
+    "edges": m,
+    "edges_per_sec": round(work / wall, 1),
+    "spark_jobs": jobs,
+}
+out.update(extra_fields)
+print(json.dumps(out))
