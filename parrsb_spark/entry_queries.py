@@ -351,6 +351,39 @@ def sql_graph_rsb_gate():
     )
 
 
+def q_mesh_periodic(spark, sf_dir):
+    """Geometric periodic-face matching contract row (ref
+    src/con-periodic.c:107-193 + the gs-min fixpoint :64-105): an 8×5
+    quad mesh with the left edge periodic to the right; the matcher's
+    cyclic-alignment search + strict tolerance gate run cluster-side,
+    the alias pairs are contracted via the min-label CC kernel, and the
+    invariants (pair count = ny+1 shared columns; contracted vertex
+    count = nx·(ny+1), the cylinder) are asserted by SQL constants.
+    Boundary faces list vertices bottom-up on BOTH sides, so the
+    reversed-winding shift search is exercised, not bypassed."""
+    from parrsb_spark import graphs
+    from parrsb_spark.operators.contraction import contract_aliases
+    from parrsb_spark.operators.periodic import match_periodic_faces
+
+    nx, ny = 8, 5
+    faces = spark.createDataFrame(
+        graphs.grid2d_periodic_faces(nx, ny), schema=graphs.FACES_SCHEMA
+    )
+    pairs = match_periodic_faces(faces, nvf=2, ndim=2)  # strict: raises on misalign
+    npairs = pairs.count()
+    e = graphs.to_df(spark, graphs.grid2d(nx + 1, ny + 1)[0])
+    _, mapping = contract_aliases(e, pairs)
+    ncanon = mapping.select("canon").distinct().count()
+    return spark.createDataFrame(
+        [(npairs, ncanon)], schema="n_pairs bigint, n_canon bigint"
+    )
+
+
+def sql_mesh_periodic():
+    # 8×5 elements → 6 shared columns of vertices; cylinder has 8·6 vertices
+    return "SELECT CAST(6 AS BIGINT) AS n_pairs, CAST(48 AS BIGINT) AS n_canon"
+
+
 # ---------------------------------------------------------------------------
 # relational coverage (scan/filter/join/agg/window/rollup/top-k/as-of)
 
@@ -834,6 +867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_fiedler_qa": q_graph_fiedler_qa,
         "graph_rsb_sizes": q_graph_rsb_sizes,
         "graph_rsb_gate": q_graph_rsb_gate,
+        "mesh_periodic": q_mesh_periodic,
         "pricing_summary": q_pricing_summary,
         "top_revenue_orders": q_top_revenue_orders,
         "nation_rollup": q_nation_rollup,
@@ -873,6 +907,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_fiedler_qa": sql_graph_fiedler_qa(),
         "graph_rsb_sizes": sql_graph_rsb_sizes(),
         "graph_rsb_gate": sql_graph_rsb_gate(),
+        "mesh_periodic": sql_mesh_periodic(),
         "pricing_summary": sql_pricing_summary(),
         "top_revenue_orders": sql_top_revenue_orders(),
         "nation_rollup": sql_nation_rollup(),

@@ -101,6 +101,50 @@ def periodic_alias(nx: int, ny: int) -> tuple[list[tuple[int, int]], list[tuple[
     return edges, aliases
 
 
+def grid2d_periodic_faces(nx: int, ny: int) -> list[tuple]:
+    """Boundary-face rows of an nx×ny QUAD-ELEMENT mesh with the left
+    edge periodic to the right (the `findConnectedPeriodicFaces` input
+    shape, ref /root/reference/src/con-periodic.c:178-193): one row per
+    boundary face, (elem_id, face_id, bc_elem, bc_face, vids, xs).
+    Mesh vertices are (nx+1)×(ny+1), 1-based row-major; each LEFT face
+    carries a BC pointer at its RIGHT mate (one-sided, as gencon writes
+    them). Both faces list vertices bottom-up, so the matcher's reversed
+    winding must pick shift 1 — the alignment search is exercised, not
+    bypassed."""
+    vtx = lambda x, y: y * (nx + 1) + x + 1
+    elem = lambda ex, ey: ey * nx + ex + 1
+    faces = []
+    for ey in range(ny):
+        left, right = elem(0, ey), elem(nx - 1, ey)
+        faces.append(
+            (
+                left,
+                1,
+                right,
+                2,
+                [vtx(0, ey), vtx(0, ey + 1)],
+                [[0.0, float(ey)], [0.0, float(ey + 1)]],
+            )
+        )
+        faces.append(
+            (
+                right,
+                2,
+                None,
+                None,
+                [vtx(nx, ey), vtx(nx, ey + 1)],
+                [[float(nx), float(ey)], [float(nx), float(ey + 1)]],
+            )
+        )
+    return faces
+
+
+FACES_SCHEMA = (
+    "elem_id bigint, face_id bigint, bc_elem bigint, bc_face bigint, "
+    "vids array<bigint>, xs array<array<double>>"
+)
+
+
 def to_df(spark: SparkSession, edges: list[tuple[int, int]]) -> DataFrame:
     return spark.createDataFrame(
         [(int(u), int(v)) for u, v in edges], schema="src bigint, dst bigint"

@@ -9,6 +9,7 @@ from parrsb_spark.operators.rib import rib_partition
 from parrsb_spark.operators.partition import partition_graph
 from parrsb_spark.operators.stats import edge_cut, comm_volume, neighbor_census, partition_sizes
 from parrsb_spark.operators.contraction import contract_aliases, dense_renumber
+from parrsb_spark.operators.periodic import match_periodic_faces
 
 __all__ = [
     "pagerank",
@@ -29,4 +30,5 @@ __all__ = [
     "partition_sizes",
     "contract_aliases",
     "dense_renumber",
+    "match_periodic_faces",
 ]

@@ -139,6 +139,8 @@ def fiedler(
     sign_fix: bool = True,
     symmetrized: bool = False,
     init_order: DataFrame | None = None,
+    lineage=None,
+    level: int = 0,
 ) -> DataFrame:
     """Returns (vid, grp, fiedler), unit-norm per group, sign-fixed so the
     entry at the group's smallest vid with |f| > 1e-9 is positive.
@@ -160,8 +162,18 @@ def fiedler(
     (ord, vid) instead of vid — the rsb_pre geometric pre-partition hook
     (ref src/rsb.c:282-292): the init vector's "first half" becomes the
     RCB/RIB half, so Lanczos starts from the geometric bisection.
+
+    `lineage` = optional plans.lineage.LineageLog: buffers per-phase
+    wall rows (fiedler_setup / lanczos / tqli / niter) at RSB level
+    `level` — the metric_rsb_print profile analogue (ref
+    /root/reference/src/metrics.c:68-106). Phase walls are driver
+    walls: a phase owns the jobs that MATERIALIZE inside it; the
+    lazily-built output DF is billed to the caller's first action.
     """
+    import time as _time
+
     opts = opts or default_options()
+    _t_setup = _time.monotonic()
     if opts.spmv_impl not in ("join", "block", "csr_arrow"):
         raise ValueError(
             f"unknown spmv_impl {opts.spmv_impl!r} (join | block | csr_arrow)"
@@ -281,19 +293,31 @@ def fiedler(
         "vid", "grp", "deg", ((x_col - sc0["mu"]) / sc0["nrm"]).alias("q")
     )
     f_df = None
+    if lineage is not None:
+        lineage.phase_mark("fiedler", "fiedler_setup", level, _time.monotonic() - _t_setup)
+    _w_lanczos = _w_tqli = 0.0
+    _niter = 0
 
     if opts.rsb_algo == "inverse":
         # D9-D11: inverse power iteration with MG-preconditioned projected
         # CG (ref inverse(), src/fiedler.c:189-321; rsb_algo=1)
+        _t0 = _time.monotonic()
         with iterative_conf(spark, disable_aqe=loop_no_aqe):
             f_df = _inverse_driver(spark, e, base, sizes, opts, state0)
+        _w_lanczos = _time.monotonic() - _t0
+        _niter = opts.rsb_max_iter
     elif opts.rsb_algo == "lanczos":
         state = _fresh_state(state0)
         passes = max(1, opts.rsb_max_passes)
         with iterative_conf(spark, disable_aqe=loop_no_aqe):
             for pss in range(passes):
+                _t0 = _time.monotonic()
                 state, alphas, betas, updates = _lanczos_pass(spmv_fn, state, sizes, opts)
+                _w_lanczos += _time.monotonic() - _t0
+                _niter += max((len(v) for v in alphas.values()), default=0)
+                _t0 = _time.monotonic()
                 f_df = _recombine(spark, state, alphas, betas, sizes, updates, opts)
+                _w_tqli += _time.monotonic() - _t0
                 if pss + 1 >= passes:
                     # no restart can happen — the residual's only consumer is
                     # the restart decision, so skip its SpMV + collect (the
@@ -311,6 +335,15 @@ def fiedler(
                 state = _fresh_state(_orthonormalize(state, "x", "q"))
     else:
         raise ValueError(f"unknown rsb_algo {opts.rsb_algo!r} (lanczos | inverse)")
+
+    if lineage is not None:
+        # lanczos = the iterative solve (RSB_LANCZOS; the inverse path's
+        # whole CG driver bills here), tqli = driver tridiag eigensolve +
+        # recombination build (RSB_LANCZOS_TQLI), niter = iteration count
+        # (RSB_FIEDLER_CALC_NITER — a counter row: rows, not wall)
+        lineage.phase_mark("fiedler", "lanczos", level, _w_lanczos)
+        lineage.phase_mark("fiedler", "tqli", level, _w_tqli)
+        lineage.phase_mark("fiedler", "niter", level, 0.0, rows=_niter)
 
     out = f_df.select("vid", "grp", "fiedler")
     if sign_fix:

@@ -114,9 +114,27 @@ def rsb_partition(
         membership = state.filter(F.col("part").isin(active)).select(
             "vid", F.col("part").alias("grp")
         )
-        init_order = _pre_partition_order(state, coords, active, opts)
+        # per-phase profile rows (metric_rsb_print analogue, ref
+        # src/metrics.c:68-106): driver walls, buffered, ONE flush per cut
+        import contextlib as _ctx
+        import time as _time
+
+        ph = (
+            lineage.phase
+            if lineage is not None
+            else (lambda *a, **k: _ctx.nullcontext())
+        )
+        with ph("rsb", "pre", cut):
+            init_order = _pre_partition_order(state, coords, active, opts)
+        _t_fied = _time.monotonic()
         fied = fiedler(
-            sym, membership=membership, opts=opts, symmetrized=True, init_order=init_order
+            sym,
+            membership=membership,
+            opts=opts,
+            symmetrized=True,
+            init_order=init_order,
+            lineage=lineage,
+            level=cut,
         )
 
         # rank-exact median cut per group (E6; the parallel-sort analogue).
@@ -124,9 +142,14 @@ def rsb_partition(
         # per-group window — at cut 0 group 0 is the entire graph and a
         # partitionBy(grp) window would funnel it through one task.
         sizes = {r["grp"]: r["n"] for r in fied.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+        if lineage is not None:
+            # the size collect is the first action on fied — it materializes
+            # the recombined fiedler DF, so it belongs to the fiedler phase
+            lineage.phase_mark("rsb", "fiedler", cut, _time.monotonic() - _t_fied)
         if opts.verbose:
             # the parrsb_print per-cut progress line (ref src/rsb.c:276-300)
             print(f"rsb: cut={cut} active_groups={len(active)} n={sum(sizes.values())}")
+        _t_sort = _time.monotonic()
         split_rows = []
         new_np: dict[int, int] = {}
         for g in active:
@@ -149,6 +172,11 @@ def rsb_partition(
             F.when(F.col("rn") <= F.col("target0"), 0).otherwise(1).alias("half"),
         )
         assigned = _tie_break_boundary(sym, ranked, assigned)
+        if lineage is not None:
+            # rank-exact split + boundary tie-break probes (RSB_SORT +
+            # RSB_BALANCE collapse into one phase here — the rank-exact
+            # split needs no post-hoc balance fix-up, ref src/rsb.c:118-229)
+            lineage.phase_mark("rsb", "sort", cut, _time.monotonic() - _t_sort)
         assigned = assigned.select(
             "vid", (F.col("grp") * 2 + F.col("half")).alias("part")
         )
@@ -162,21 +190,24 @@ def rsb_partition(
         if opts.repair:
             new_parts = sorted({g * 2 for g in active} | {g * 2 + 1 for g in active})
             state = _repair_parts(sym, state, new_parts)
-        if ckpt_log is not None:
-            # durable snapshot + lineage row (write-state-then-log: a crash
-            # between the two leaves the PREVIOUS cut resumable)
-            from parrsb_spark.plans.lineage import checkpoint_state
+        with ph("rsb", "checkpoint", cut):
+            if ckpt_log is not None:
+                # durable snapshot + lineage row (write-state-then-log: a
+                # crash between the two leaves the PREVIOUS cut resumable)
+                from parrsb_spark.plans.lineage import checkpoint_state
 
-            state = checkpoint_state(state, ckpt_log, "rsb", cut)
-        else:
-            state = state.localCheckpoint(eager=True)
+                state = checkpoint_state(state, ckpt_log, "rsb", cut)
+            else:
+                state = state.localCheckpoint(eager=True)
         np_of = new_np
 
         if check_components:
-            _component_check(edges, state, cut)
+            with ph("rsb", "components", cut):
+                _component_check(edges, state, cut)
         if lineage is not None:
             for g, n_g in sizes.items():
                 lineage.record(kernel="rsb", iteration=cut, partition_id=int(g), rows=int(n_g))
+            lineage.flush_phases()
         cut += 1
         if max_cuts is not None and cut >= max_cuts and any(v > 1 for v in np_of.values()):
             return state.select("vid", "part")

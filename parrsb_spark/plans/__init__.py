@@ -1,3 +1,15 @@
-from parrsb_spark.plans.lineage import LineageLog, checkpoint_state, latest_checkpoint
+from parrsb_spark.plans.lineage import (
+    LineageLog,
+    checkpoint_state,
+    format_phase_report,
+    latest_checkpoint,
+    phase_report,
+)
 
-__all__ = ["LineageLog", "checkpoint_state", "latest_checkpoint"]
+__all__ = [
+    "LineageLog",
+    "checkpoint_state",
+    "format_phase_report",
+    "latest_checkpoint",
+    "phase_report",
+]

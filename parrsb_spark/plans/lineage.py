@@ -19,10 +19,18 @@ a crash between the two leaves a resumable previous iteration.
 
 FIXTURES.md §5 schema:
     run_id, kernel, partition_id, iteration, residual, rows, wall_s
+
+Phase rows (the metric_rsb_print analogue, ref
+/root/reference/src/metrics.c:68-106) reuse the same schema with
+kernel = "<kernel>/<phase>" and wall_s = the phase DURATION (not the
+run offset ordinary rows carry); `iteration` is the RSB level. They are
+buffered driver-side and flushed as ONE parquet append per cut — a
+write job per phase row would itself distort the timings it records.
 """
 
 from __future__ import annotations
 
+import contextlib
 import time
 import uuid
 
@@ -41,6 +49,7 @@ class LineageLog:
         self.base_dir = base_dir.rstrip("/")
         self.run_id = run_id or uuid.uuid4().hex[:12]
         self._t0 = time.monotonic()
+        self._phase_buf: list[tuple] = []
 
     @property
     def lineage_path(self) -> str:
@@ -69,8 +78,117 @@ class LineageLog:
             self.lineage_path
         )
 
+    @contextlib.contextmanager
+    def phase(self, kernel: str, name: str, iteration: int = 0):
+        """Time a driver-side phase and buffer one row (kernel/<name>,
+        wall_s = duration). Laziness caveat: a phase is charged the jobs
+        that MATERIALIZE inside it — a transformation built here but
+        collected later is billed to the later phase, exactly like the
+        reference's metric_tic/toc around comm-synchronized regions
+        (ref /root/reference/src/metrics.c:27-48)."""
+        t0 = time.monotonic()
+        try:
+            yield
+        finally:
+            self.phase_mark(kernel, name, iteration, time.monotonic() - t0)
+
+    def phase_mark(
+        self,
+        kernel: str,
+        name: str,
+        iteration: int,
+        wall_s: float = 0.0,
+        rows: int | None = None,
+    ) -> None:
+        """Buffer a phase row directly — for counter metrics like the
+        reference's RSB_FIEDLER_CALC_NITER (rows = the count)."""
+        self._phase_buf.append(
+            (
+                self.run_id,
+                f"{kernel}/{name}",
+                0,
+                int(iteration),
+                None,
+                int(rows) if rows is not None else None,
+                float(wall_s),
+            )
+        )
+
+    def flush_phases(self) -> None:
+        """ONE append job for every buffered phase row."""
+        if not self._phase_buf:
+            return
+        buf, self._phase_buf = self._phase_buf, []
+        self.spark.createDataFrame(buf, schema=LINEAGE_SCHEMA).write.mode("append").parquet(
+            self.lineage_path
+        )
+
     def read(self) -> DataFrame:
         return self.spark.read.parquet(self.lineage_path)
+
+
+def phase_report(lin: DataFrame, kernel: str = "rsb") -> DataFrame:
+    """Per-(level, phase) wall-time table from phase rows: columns
+    (iteration, phase, min_s, avg_s, max_s, n). min/avg/max aggregate
+    across runs sharing the lineage dir (the reference aggregates across
+    MPI ranks, ref metrics.c:50-58 comm_allreduce min/sum/max; a grouped
+    Spark cut is one driver wall, so the spread shows only with repeated
+    runs — n carries how many)."""
+    return (
+        lin.filter(F.col("kernel").startswith(kernel + "/"))
+        .withColumn("phase", F.expr(f"substring(kernel, {len(kernel) + 2})"))
+        .groupBy("iteration", "phase")
+        .agg(
+            F.min("wall_s").alias("min_s"),
+            F.avg("wall_s").alias("avg_s"),
+            F.max("wall_s").alias("max_s"),
+            F.count("*").alias("n"),
+            F.avg("rows").alias("count_avg"),
+        )
+        .orderBy("iteration", "phase")
+    )
+
+
+# display order + indent mirroring metric_rsb_print's tree
+# (ref /root/reference/src/metrics.c:68-106)
+_PHASE_TREE = [
+    ("pre", 1),
+    ("fiedler", 1),
+    ("fiedler_setup", 2),
+    ("lanczos", 3),
+    ("tqli", 3),
+    ("niter", 2),
+    ("sort", 1),
+    ("components", 1),
+    ("balance", 1),
+    ("checkpoint", 1),
+]
+
+
+def format_phase_report(lin: DataFrame, kernel: str = "rsb") -> str:
+    """The parrsb profile printout (`metric_rsb_print`): one block per
+    level, phases in tree order, min/avg/max seconds."""
+    rows = phase_report(lin, kernel).collect()
+    by_level: dict[int, dict[str, tuple]] = {}
+    for r in rows:
+        by_level.setdefault(int(r["iteration"]), {})[r["phase"]] = (
+            r["min_s"], r["avg_s"], r["max_s"], r["count_avg"],
+        )
+    order = {p: i for i, (p, _) in enumerate(_PHASE_TREE)}
+    indent = dict(_PHASE_TREE)
+    out = []
+    for lvl in sorted(by_level):
+        out.append(f"level={lvl:02d}")
+        phases = by_level[lvl]
+        for p in sorted(phases, key=lambda x: order.get(x, 99)):
+            mn, av, mx, cnt = phases[p]
+            pad = "  " * indent.get(p, 1)
+            if p == "niter":
+                # counter metric (RSB_FIEDLER_CALC_NITER): a count, not a wall
+                out.append(f"{pad}{p.upper():<24}: {cnt:e}")
+            else:
+                out.append(f"{pad}{p.upper():<24}: {mn:e}/{av:e}/{mx:e}")
+    return "\n".join(out)
 
 
 def checkpoint_state(

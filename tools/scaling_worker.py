@@ -75,8 +75,22 @@ elif kernel == "rsb":
     rsb_partition(edges, K, opts=opts, lineage=lin).groupBy("part").count().collect()
     # per-cut wall: lineage rows carry monotonic wall_s per cut record
     cuts = sorted(
-        {int(r["iteration"]): float(r["wall_s"]) for r in lin.read().collect()}.items()
+        {int(r["iteration"]): float(r["wall_s"]) for r in lin.read().collect() if r["kernel"] == "rsb"}.items()
     )
+    # per-phase profile (metric_rsb_print analogue): "<cut>:<phase>" → s
+    phases = {}
+    niters = {}
+    for r in lin.read().collect():
+        if "/" not in r["kernel"]:
+            continue
+        name = r["kernel"].split("/", 1)[1]
+        key = f'{int(r["iteration"])}:{name}'
+        if name == "niter":
+            niters[key] = int(r["rows"] or 0)
+        else:
+            phases[key] = round(float(r["wall_s"]), 2)
+    extra_fields["phase_walls_s"] = phases
+    extra_fields["lanczos_niter"] = niters
     prev = 0.0
     extra_fields["per_cut_wall_s"] = []
     for _it, w in cuts:
