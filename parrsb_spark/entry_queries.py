@@ -351,6 +351,47 @@ def sql_graph_rsb_gate():
     )
 
 
+def q_graph_rsb_two_level(spark, sf_dir):
+    """Node-aware two-level hierarchy contract row (B8, ref
+    src/parrsb.c:186-234 initialize_levels + src/rsb.c:231-262 level
+    binning): a 24×12 mesh partitioned onto 2 nodes × 2 ranks. Asserted
+    cluster-side, constants-checked by SQL: part = node·rpn + local
+    everywhere (hier_ok), every part ±1-balanced, and the hierarchical
+    cuts reach the straight-line optimum — inter-node cut = one 12-edge
+    column (the expensive network cut), intra-node = two 12-edge cuts
+    (the cheap in-node cuts). The fixture is a mesh, not the TPC-H
+    expander, for the same reason as `graph_rsb_gate`: on a mesh the
+    optimum is known in closed form."""
+    from parrsb_spark import graphs
+    from parrsb_spark.config import EngineOptions
+    from parrsb_spark.operators.hierarchy import rsb_partition_two_level, two_level_stats
+    from parrsb_spark.operators.stats import partition_sizes
+
+    nodes, rpn, nx, ny = 2, 2, 24, 12
+    e = graphs.to_df(spark, graphs.grid2d(nx, ny)[0]).localCheckpoint(eager=True)
+    opts = EngineOptions(rsb_max_iter=40, rsb_max_passes=2, rsb_tol=1e-6)
+    two = rsb_partition_two_level(e, nodes, rpn, opts=opts).localCheckpoint(eager=True)
+    hier_ok = two.filter(F.col("node") != (F.col("part") / rpn).cast("long")).count() == 0
+    sz = sorted(r["n"] for r in partition_sizes(two).collect())
+    n = sum(sz)
+    balanced = len(sz) == nodes * rpn and sz[-1] - sz[0] <= 1
+    st = two_level_stats(e, two, rpn)
+    return spark.createDataFrame(
+        [(n, bool(balanced), bool(hier_ok), st["cut_internode"], st["cut_intranode"])],
+        schema="n bigint, balanced boolean, hier_ok boolean, "
+        "cut_internode bigint, cut_intranode bigint",
+    )
+
+
+def sql_graph_rsb_two_level():
+    # 24×12 grid: optimal node bisection = the 12-edge column at x=12;
+    # each 12×12 node then bisects at a 12-edge line → 24 intra-node
+    return (
+        "SELECT CAST(288 AS BIGINT) AS n, TRUE AS balanced, TRUE AS hier_ok, "
+        "CAST(12 AS BIGINT) AS cut_internode, CAST(24 AS BIGINT) AS cut_intranode"
+    )
+
+
 def q_mesh_periodic(spark, sf_dir):
     """Geometric periodic-face matching contract row (ref
     src/con-periodic.c:107-193 + the gs-min fixpoint :64-105): an 8×5
@@ -867,6 +908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_fiedler_qa": q_graph_fiedler_qa,
         "graph_rsb_sizes": q_graph_rsb_sizes,
         "graph_rsb_gate": q_graph_rsb_gate,
+        "graph_rsb_two_level": q_graph_rsb_two_level,
         "mesh_periodic": q_mesh_periodic,
         "pricing_summary": q_pricing_summary,
         "top_revenue_orders": q_top_revenue_orders,
@@ -907,6 +949,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_fiedler_qa": sql_graph_fiedler_qa(),
         "graph_rsb_sizes": sql_graph_rsb_sizes(),
         "graph_rsb_gate": sql_graph_rsb_gate(),
+        "graph_rsb_two_level": sql_graph_rsb_two_level(),
         "mesh_periodic": sql_mesh_periodic(),
         "pricing_summary": sql_pricing_summary(),
         "top_revenue_orders": sql_top_revenue_orders(),

@@ -4,6 +4,7 @@ from parrsb_spark.operators.triangles import triangle_counts, triangle_total
 from parrsb_spark.operators.labelprop import label_propagation
 from parrsb_spark.operators.fiedler import fiedler
 from parrsb_spark.operators.rsb import rsb_partition, rsb_resumable
+from parrsb_spark.operators.hierarchy import rsb_partition_two_level, two_level_stats
 from parrsb_spark.operators.rcb import rcb_partition
 from parrsb_spark.operators.rib import rib_partition
 from parrsb_spark.operators.partition import partition_graph
@@ -21,6 +22,8 @@ __all__ = [
     "fiedler",
     "rsb_partition",
     "rsb_resumable",
+    "rsb_partition_two_level",
+    "two_level_stats",
     "rcb_partition",
     "rib_partition",
     "partition_graph",
