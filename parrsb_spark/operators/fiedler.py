@@ -141,6 +141,7 @@ def fiedler(
     init_order: DataFrame | None = None,
     lineage=None,
     level: int = 0,
+    single_group: int | None = None,
 ) -> DataFrame:
     """Returns (vid, grp, fiedler), unit-norm per group, sign-fixed so the
     entry at the group's smallest vid with |f| > 1e-9 is positive.
@@ -162,6 +163,15 @@ def fiedler(
     (ord, vid) instead of vid — the rsb_pre geometric pre-partition hook
     (ref src/rsb.c:282-292): the init vector's "first half" becomes the
     RCB/RIB half, so Lanczos starts from the geometric bisection.
+
+    `single_group` = caller's assertion that `membership` is exactly ONE
+    group with this id and it covers every edge endpoint — skips the
+    two edge-tagging shuffle joins (the group column becomes a literal).
+    This is cut 0 of every RSB run and every standalone fiedler() call:
+    at 64M edges the tagging joins dominate the setup phase, and at cut
+    0 they tag everything with the same constant. Auto-set to 0 when
+    `membership` is None. Later cuts (real multi-group membership) take
+    the join path unchanged.
 
     `lineage` = optional plans.lineage.LineageLog: buffers per-phase
     wall rows (fiedler_setup / lanczos / tqli / niter) at RSB level
@@ -185,19 +195,32 @@ def fiedler(
     verts = vertices_from_edges(edges)
     if membership is None:
         membership = verts.withColumn("grp", F.lit(0))
+        if single_group is None:
+            single_group = 0
     membership = membership.select("vid", F.col("grp").cast("long"))
 
-    # intra-group symmetric edges, tagged with grp
-    m_src = membership.select(F.col("vid").alias("src"), F.col("grp").alias("g1"))
-    m_dst = membership.select(F.col("vid").alias("dst"), F.col("grp").alias("g2"))
-    e = (
-        sym.join(m_src, "src")
-        .join(m_dst, "dst")
-        .filter(F.col("g1") == F.col("g2"))
-        .select("src", "dst", F.col("g1").alias("grp"))
-        .repartition(n_shuffle, "src")
-        .cache()
-    )
+    if single_group is not None:
+        # one group covering all endpoints (caller contract): the tag is
+        # a constant — no edge-side membership joins
+        e = (
+            sym.select(
+                "src", "dst", F.lit(int(single_group)).cast("long").alias("grp")
+            )
+            .repartition(n_shuffle, "src")
+            .cache()
+        )
+    else:
+        # intra-group symmetric edges, tagged with grp
+        m_src = membership.select(F.col("vid").alias("src"), F.col("grp").alias("g1"))
+        m_dst = membership.select(F.col("vid").alias("dst"), F.col("grp").alias("g2"))
+        e = (
+            sym.join(m_src, "src")
+            .join(m_dst, "dst")
+            .filter(F.col("g1") == F.col("g2"))
+            .select("src", "dst", F.col("g1").alias("grp"))
+            .repartition(n_shuffle, "src")
+            .cache()
+        )
     deg = e.groupBy(F.col("src").alias("vid")).agg(F.count("*").alias("deg"))
     # isolated vertices get deg 0 (their fiedler is 0 — they carry no cut info)
     base = (

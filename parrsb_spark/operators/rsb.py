@@ -135,6 +135,9 @@ def rsb_partition(
             init_order=init_order,
             lineage=lineage,
             level=cut,
+            # cut 0 of an unseeded run is ONE group covering the whole
+            # graph — the edge-tagging joins collapse to a literal
+            single_group=0 if (cut == 0 and seed_parts is None) else None,
         )
 
         # rank-exact median cut per group (E6; the parallel-sort analogue).
