@@ -19,9 +19,11 @@ Every field here is CONSUMED somewhere (no dead knobs):
                → operators/fiedler.py literal-map vs broadcast-join scalars
 
 Deliberately ABSENT reference knobs:
-- ``levels`` (node-aware two-level hierarchy, ref parrsb.c:186-234) — a
-  documented non-goal (SURVEY.md §4): Spark's shuffle service owns
-  network topology; a rack-aware hierarchy would fight it.
+- ``levels`` (ref parrsb.c:186-234) — not an option here because the
+  two-level hierarchy is its own entry point
+  (`operators/hierarchy.rsb_partition_two_level(num_nodes,
+  ranks_per_node)`): Spark has no machine topology to auto-detect, so
+  the caller names the node geometry explicitly instead of a count.
 - a global checkpoint-cadence knob — per-kernel burst lengths
   (pagerank/CC chain=2, Lanczos one-job-per-iteration) were each
   MEASURED optimal; a shared cadence would regress them. labelprop

@@ -785,6 +785,20 @@ def _lanczos_pass(spmv_fn, state, sizes, opts):
     self-stabilizes (verified: corr 1.0 at m=50 on the same grid, both
     in numpy simulation and in this engine).
 
+    Why no in-pass convergence exit (probed round 4, rejected): the
+    reference stops a pass at rnorm < rtol (ref fiedler.c:500-504), and
+    the driver-side analogue here would be the Ritz residual bound
+    β·|y_last| from the accumulated tridiagonal (zero extra jobs). But
+    that bound certifies convergence to SOME eigenpair, not to the
+    smallest: on an 8×8 grid it fired at iteration 4 inside an invariant
+    init subspace and returned a non-Fiedler mode (maxerr 0.14) — the
+    exact subspace-transition failure the deferred-normalization design
+    exists to survive (it escapes via rounding noise given enough
+    iterations). On the webgraph bench the bound never fired in 60
+    iterations anyway (clustered small eigenvalues). Risk without
+    benefit, so the pass runs its full budget and convergence is judged
+    by the TRUE residual gate between passes (`_residuals`).
+
     Still ONE SpMV + ONE scalar-reduction collect per iteration — the
     norm measurement replaces the identity at zero extra jobs."""
     groups = sorted(sizes)
