@@ -12,6 +12,7 @@ import time
 sys.path.insert(0, "/root/repo")
 
 master, sf_dir, kernel = sys.argv[1], sys.argv[2], sys.argv[3]
+variant = sys.argv[4] if len(sys.argv) > 4 else None  # free-form row tag
 spec = master[master.find("[") + 1 : master.find("]")]
 extra = {}
 if master.startswith("local-cluster"):
@@ -133,4 +134,6 @@ out = {
     "spark_jobs": jobs,
 }
 out.update(extra_fields)
+if variant:
+    out["variant"] = variant
 print(json.dumps(out))
