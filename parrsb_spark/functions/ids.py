@@ -64,6 +64,19 @@ def grouped_rank(
     with_pid = parted.withColumn("_pid", F.spark_partition_id())
     w_in = Window.partitionBy("_pid", group_col).orderBy(*ocols)
     numbered = with_pid.withColumn("_local", F.row_number().over(w_in))
+    # PIN the numbered table before deriving offsets: the final join
+    # consumes `numbered` TWICE (rows + offsets), and repartitionByRange
+    # samples its boundaries with an RDD-id-seeded RNG — when Catalyst's
+    # exchange-reuse fails to dedup the two subtrees (observed under the
+    # RSB driver: two materializations sampled different boundaries),
+    # the sides disagree on `_pid` and the inner join SILENTLY DROPS
+    # every row whose (_pid, group) moved — measured 463/100k vertices
+    # lost at an RSB cut (tools/run_submit_smoke.sh, round 4). One eager
+    # localCheckpoint makes both consumers read the same physical blocks:
+    # row-preserving and bit-deterministic by construction.
+    from parrsb_spark.session import hard_truncate
+
+    numbered = hard_truncate(numbered)
     counts = numbered.groupBy("_pid", group_col).agg(F.max("_local").alias("_cnt"))
     w_off = Window.partitionBy(group_col).orderBy("_pid").rowsBetween(
         Window.unboundedPreceding, -1
@@ -91,6 +104,11 @@ def dense_ids_scalable(
     with_part = distinct.withColumn("_pid", F.spark_partition_id())
     w_in = Window.partitionBy("_pid").orderBy(*key_cols)
     numbered = with_part.withColumn("_local", F.row_number().over(w_in))
+    # same double-consumption hazard as grouped_rank (see comment there):
+    # pin the sampled range partitioning before the offsets join
+    from parrsb_spark.session import hard_truncate
+
+    numbered = hard_truncate(numbered)
     # per-partition counts → prefix offsets (tiny: one row per partition)
     counts = numbered.groupBy("_pid").agg(F.max("_local").alias("_cnt"))
     w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)

@@ -315,6 +315,20 @@ def fiedler(
     state0 = init.select(
         "vid", "grp", "deg", ((x_col - sc0["mu"]) / sc0["nrm"]).alias("q")
     )
+    # Determinize the solve against SESSION HISTORY: grouped_rank's
+    # repartitionByRange samples range boundaries with an RDD-id-seeded
+    # RNG, so state0's physical layout differs between, say, a fresh
+    # resume-from-checkpoint session and a session that just computed the
+    # previous cut — and iteration 0's per-group float sums then
+    # accumulate in a different order, which an unconverged Lanczos
+    # amplifies into a materially different vector (measured: 11% of a
+    # 100k-vertex power-law bisection flipped). The rank VALUES are exact
+    # either way; only the layout leaks. Every in-loop exchange is keyed
+    # (hash partitioning + sort-merge-join ordering), so pinning state0
+    # to hash(vid) with in-partition vid order makes the whole solve —
+    # and therefore a resumed RSB run — replay bit-identically regardless
+    # of what ran earlier in the session (tools/run_submit_smoke.sh).
+    state0 = state0.repartition(n_shuffle, "vid").sortWithinPartitions("vid")
     f_df = None
     if lineage is not None:
         lineage.phase_mark("fiedler", "fiedler_setup", level, _time.monotonic() - _t_setup)

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from parrsb_spark import graphs
 from parrsb_spark.config import EngineOptions
+from parrsb_spark.functions.ids import grouped_rank
 from parrsb_spark.operators.fiedler import fiedler
 
 
@@ -243,3 +244,40 @@ def test_labelprop_restores_conf_on_error(spark):
         label_propagation(edges, n_iter=1, checkpoint_interval=0)
     assert spark.conf.get("spark.sql.adaptive.enabled") == before
     assert spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled") == "true"
+
+
+# ---------------------------------------------------------------------------
+# grouped_rank: pinned range partitioning (round-4 row-loss regression)
+
+
+def test_grouped_rank_row_preserving_and_stable(spark):
+    """The offsets join consumes the range-partitioned table TWICE; before
+    round 4 each side could re-sample DIFFERENT range boundaries (exchange
+    reuse is not guaranteed), disagree on _pid, and silently DROP rows —
+    measured 463/100k vertices lost at an RSB cut (SUBMIT_SMOKE round 4).
+    The pin makes the output (a) row-preserving, (b) a permutation 1..n_g
+    per group, (c) bit-identical across materializations."""
+    rows = [((i * 7) % 3, float((i * 37) % 101) + 0.25 * (i % 4), i) for i in range(3000)]
+    df = spark.createDataFrame(rows, schema="grp long, val double, vid long").repartition(13)
+    out = grouped_rank(df, "grp", ["val", "vid"], "rn")
+    m1 = {(r["grp"], r["vid"]): r["rn"] for r in out.collect()}
+    m2 = {(r["grp"], r["vid"]): r["rn"] for r in out.collect()}  # re-materialize
+    assert len(m1) == 3000 and m1 == m2
+    sizes = {}
+    for (g, _), rn in m1.items():
+        sizes.setdefault(g, []).append(rn)
+    for g, rns in sizes.items():
+        assert sorted(rns) == list(range(1, len(rns) + 1)), f"grp {g} ranks not dense"
+
+
+def test_grouped_rank_plan_has_no_live_range_exchange(spark):
+    """Guard for the pin itself: the returned DF must read a MATERIALIZED
+    (checkpointed) table — no rangepartitioning exchange may remain live
+    in its plan, else the two join sides can re-sample boundaries
+    independently and corrupt the (_pid, grp) join."""
+    df = spark.createDataFrame(
+        [(0, float(i % 17), i) for i in range(100)], schema="grp long, val double, vid long"
+    )
+    out = grouped_rank(df, "grp", ["val", "vid"], "rn")
+    plan = out._jdf.queryExecution().executedPlan().toString().lower()
+    assert "rangepartitioning" not in plan, plan[:400]

@@ -1,0 +1,111 @@
+#!/bin/bash
+# spark-submit launch smoke — end-to-end evidence for the north rule's
+# launch clause ("runs via spark-submit --py-files on a multi-executor
+# cluster") and its resume clause ("resumable from checkpoint"):
+#
+#   1. package parrsb_spark as a --py-files zip (no pip install)
+#   2. spark-submit pagerank over a deterministic synthetic edge table
+#   3. spark-submit rsb k=4 with --ckpt-dir, UNINTERRUPTED  -> parts A
+#   4. same command KILLED (SIGKILL) mid-run; verify the checkpoint
+#      actually holds >=1 cut snapshot (else retry later kill point)
+#   5. resubmit the IDENTICAL command -> parts B (resumes past the
+#      snapshotted cuts)
+#   6. assert parts A == parts B exactly (duckdb anti-join both ways)
+#
+# Emits one JSON line per step into SUBMIT_SMOKE.json at the repo root.
+# Master is local[8] here; on a real cluster only --master changes.
+set -u
+cd /root/repo
+BENCH_DIR=/root/repo/.bench/submit_smoke
+OUT=/root/repo/SUBMIT_SMOKE.json
+ZIP=$BENCH_DIR/parrsb_spark.zip
+GRAPH=$BENCH_DIR/graph.parquet
+SUBMIT=${SPARK_SUBMIT:-/opt/spark/bin/spark-submit}
+MASTER=${SMOKE_MASTER:-local[8]}
+rm -rf "$BENCH_DIR" && mkdir -p "$BENCH_DIR"
+
+python - <<EOF
+import sys; sys.path.insert(0, '/root/repo')
+from parrsb_spark.sources.synthgraph import materialize_parquet
+print(materialize_parquet('$GRAPH', n=100_000, m=8, seed=7))
+EOF
+(cd /root/repo && python -m zipfile -c "$ZIP" parrsb_spark) || exit 1
+
+submit() { # submit <extra spark-submit args...> -- <job args...>
+  "$SUBMIT" --master "$MASTER" --py-files "$ZIP" \
+    --conf spark.sql.shuffle.partitions=8 \
+    --conf spark.sql.session.timeZone=UTC \
+    --conf spark.driver.memory=8g \
+    tools/submit_job.py "$@" 2>"$BENCH_DIR/last_err.log"
+}
+
+echo '{"smoke": "spark-submit --py-files", "master": "'"$MASTER"'", "steps": [' > "$OUT.tmp"
+
+# --- step 1: pagerank ---
+t0=$SECONDS
+PR_LINE=$(submit pagerank --input "$GRAPH" --output "$BENCH_DIR/pr_out" --iters 5 | tail -1)
+echo "pagerank: $PR_LINE" >&2
+echo "$PR_LINE," >> "$OUT.tmp"
+
+# --- step 2: rsb uninterrupted (with ckpt so both runs share a plan) ---
+rm -rf "$BENCH_DIR/ck_a"
+t0=$SECONDS
+RSB_A=$(submit rsb --input "$GRAPH" --output "$BENCH_DIR/rsb_a" --k 4 --iters 30 --ckpt-dir "$BENCH_DIR/ck_a" | tail -1)
+WALL_A=$((SECONDS - t0))
+echo "rsb full: $RSB_A (wall ${WALL_A}s)" >&2
+echo "$RSB_A," >> "$OUT.tmp"
+
+# --- step 3: killed run, then resume ---
+rm -rf "$BENCH_DIR/ck_b" "$BENCH_DIR/rsb_b"
+for frac in 2 3 4; do  # kill at 1/2, then later points if no cut landed
+  KILL_AT=$(( WALL_A * (frac > 2 ? frac - 1 : 1) / frac + 5 ))
+  timeout -s KILL "$KILL_AT" "$SUBMIT" --master "$MASTER" --py-files "$ZIP" \
+    --conf spark.sql.shuffle.partitions=8 \
+    --conf spark.sql.session.timeZone=UTC \
+    --conf spark.driver.memory=8g \
+    tools/submit_job.py rsb --input "$GRAPH" --output "$BENCH_DIR/rsb_b" \
+    --k 4 --iters 30 --ckpt-dir "$BENCH_DIR/ck_b" \
+    >/dev/null 2>"$BENCH_DIR/kill_err.log"
+  RC=$?
+  SNAPS=$(ls -d "$BENCH_DIR"/ck_b/state/rsb/iter=* 2>/dev/null | wc -l)
+  echo "killed at ${KILL_AT}s rc=$RC snapshots=$SNAPS" >&2
+  if [ "$SNAPS" -ge 1 ] && [ "$RC" -ne 0 ]; then break; fi
+  rm -rf "$BENCH_DIR/ck_b" "$BENCH_DIR/rsb_b"
+done
+[ "$SNAPS" -ge 1 ] || { echo '{"error": "no snapshot landed before any kill point"}]}' >> "$OUT.tmp"; mv "$OUT.tmp" "$OUT"; exit 1; }
+
+RSB_B=$(submit rsb --input "$GRAPH" --output "$BENCH_DIR/rsb_b" --k 4 --iters 30 --ckpt-dir "$BENCH_DIR/ck_b" | tail -1)
+echo "rsb resumed: $RSB_B" >&2
+echo "$RSB_B," >> "$OUT.tmp"
+
+# --- step 4: exact equality of the two part maps ---
+python - <<EOF >> "$OUT.tmp"
+import duckdb, json
+con = duckdb.connect()
+q = """
+SELECT
+  (SELECT count(*) FROM '$BENCH_DIR/rsb_a/*.parquet') AS rows_a,
+  (SELECT count(*) FROM '$BENCH_DIR/rsb_b/*.parquet') AS rows_b,
+  (SELECT count(*) FROM '$BENCH_DIR/rsb_a/*.parquet' a
+     FULL JOIN '$BENCH_DIR/rsb_b/*.parquet' b USING (vid)
+     WHERE a.part IS DISTINCT FROM b.part) AS mismatched
+"""
+rows_a, rows_b, mism = con.execute(q).fetchone()
+print(json.dumps({"check": "resumed_part_map_equals_uninterrupted",
+                  "rows_a": rows_a, "rows_b": rows_b,
+                  "mismatched": mism,
+                  "snapshots_at_kill": int("$SNAPS"),
+                  "pass": bool(rows_a == rows_b and mism == 0)}))
+EOF
+echo ']}' >> "$OUT.tmp"
+python - <<'EOF'
+import json, re
+raw = open('/root/repo/SUBMIT_SMOKE.json.tmp').read()
+# normalize the hand-assembled stream into valid JSON
+obj = json.loads(raw)
+ok = obj["steps"][-1]["pass"]
+obj["pass"] = ok
+json.dump(obj, open('/root/repo/SUBMIT_SMOKE.json', 'w'), indent=1)
+print("SMOKE PASS" if ok else "SMOKE FAIL")
+EOF
+rm -f "$OUT.tmp"
