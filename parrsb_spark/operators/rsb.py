@@ -208,8 +208,9 @@ def rsb_partition(
             with ph("rsb", "components", cut):
                 _component_check(edges, state, cut)
         if lineage is not None:
-            for g, n_g in sizes.items():
-                lineage.record(kernel="rsb", iteration=cut, partition_id=int(g), rows=int(n_g))
+            lineage.record_many(
+                [("rsb", cut, int(g), None, int(n_g)) for g, n_g in sizes.items()]
+            )
             lineage.flush_phases()
         cut += 1
         if max_cuts is not None and cut >= max_cuts and any(v > 1 for v in np_of.values()):

@@ -63,18 +63,35 @@ class LineageLog:
         residual: float | None = None,
         rows: int | None = None,
     ) -> None:
-        row = [
+        self.record_many([(kernel, iteration, partition_id, residual, rows)])
+
+    def record_many(
+        self, entries: list[tuple[str, int, int, float | None, int | None]]
+    ) -> None:
+        """Append a BATCH of (kernel, iteration, partition_id, residual,
+        rows) entries as ONE write job / one parquet file. Per-group and
+        per-partition lineage must go through here, not a `record` loop:
+        one write job per row is a driver round-trip and a small-file per
+        row — at k=1024 the last RSB cut has 512 groups, i.e. 512
+        sequential jobs and 512 files per cut the batch form collapses
+        to one. Durability ordering (write-state-then-log) is preserved:
+        the whole batch lands atomically after the state it describes."""
+        if not entries:
+            return
+        t = time.monotonic() - self._t0
+        rows = [
             (
                 self.run_id,
                 kernel,
                 int(partition_id),
                 int(iteration),
                 float(residual) if residual is not None else None,
-                int(rows) if rows is not None else None,
-                time.monotonic() - self._t0,
+                int(nrows) if nrows is not None else None,
+                t,
             )
+            for kernel, iteration, partition_id, residual, nrows in entries
         ]
-        self.spark.createDataFrame(row, schema=LINEAGE_SCHEMA).write.mode("append").parquet(
+        self.spark.createDataFrame(rows, schema=LINEAGE_SCHEMA).write.mode("append").parquet(
             self.lineage_path
         )
 
@@ -200,9 +217,9 @@ def checkpoint_state(
     state.write.mode("overwrite").parquet(path)
     reread = log.spark.read.parquet(path)
     per_part = reread.withColumn("_pid", F.spark_partition_id()).groupBy("_pid").count().collect()
-    for r in per_part:
-        log.record(kernel=kernel, iteration=iteration, partition_id=r["_pid"],
-                   residual=residual, rows=r["count"])
+    log.record_many(
+        [(kernel, iteration, r["_pid"], residual, r["count"]) for r in per_part]
+    )
     return reread
 
 

@@ -56,9 +56,16 @@ echo "rsb full: $RSB_A (wall ${WALL_A}s)" >&2
 echo "$RSB_A," >> "$OUT.tmp"
 
 # --- step 3: killed run, then resume ---
+# Kill points are PERCENTAGES of the uninterrupted wall, earliest first:
+# run-to-run variance means a late kill point can land AFTER a faster
+# second run already finished (rc=0 — no kill happened, the "resume"
+# would be a mere replay). The pass requires a GENUINE kill: rc != 0
+# (SIGKILL delivered mid-run) AND >=1 cut snapshot already durable.
 rm -rf "$BENCH_DIR/ck_b" "$BENCH_DIR/rsb_b"
-for frac in 2 3 4; do  # kill at 1/2, then later points if no cut landed
-  KILL_AT=$(( WALL_A * (frac > 2 ? frac - 1 : 1) / frac + 5 ))
+KILLED=0
+for pct in 45 60 75 90; do
+  KILL_AT=$(( WALL_A * pct / 100 ))
+  [ "$KILL_AT" -ge 10 ] || KILL_AT=10
   timeout -s KILL "$KILL_AT" "$SUBMIT" --master "$MASTER" --py-files "$ZIP" \
     --conf spark.sql.shuffle.partitions=8 \
     --conf spark.sql.session.timeZone=UTC \
@@ -68,11 +75,11 @@ for frac in 2 3 4; do  # kill at 1/2, then later points if no cut landed
     >/dev/null 2>"$BENCH_DIR/kill_err.log"
   RC=$?
   SNAPS=$(ls -d "$BENCH_DIR"/ck_b/state/rsb/iter=* 2>/dev/null | wc -l)
-  echo "killed at ${KILL_AT}s rc=$RC snapshots=$SNAPS" >&2
-  if [ "$SNAPS" -ge 1 ] && [ "$RC" -ne 0 ]; then break; fi
+  echo "killed at ${KILL_AT}s (${pct}%) rc=$RC snapshots=$SNAPS" >&2
+  if [ "$RC" -ne 0 ] && [ "$SNAPS" -ge 1 ]; then KILLED=1; break; fi
   rm -rf "$BENCH_DIR/ck_b" "$BENCH_DIR/rsb_b"
 done
-[ "$SNAPS" -ge 1 ] || { echo '{"error": "no snapshot landed before any kill point"}]}' >> "$OUT.tmp"; mv "$OUT.tmp" "$OUT"; exit 1; }
+[ "$KILLED" -eq 1 ] || { echo '{"error": "no genuine mid-run kill with a durable snapshot at any kill point"}]}' >> "$OUT.tmp"; mv "$OUT.tmp" "$OUT"; exit 1; }
 
 RSB_B=$(submit rsb --input "$GRAPH" --output "$BENCH_DIR/rsb_b" --k 4 --iters 30 --ckpt-dir "$BENCH_DIR/ck_b" | tail -1)
 echo "rsb resumed: $RSB_B" >&2
@@ -95,7 +102,8 @@ print(json.dumps({"check": "resumed_part_map_equals_uninterrupted",
                   "rows_a": rows_a, "rows_b": rows_b,
                   "mismatched": mism,
                   "snapshots_at_kill": int("$SNAPS"),
-                  "pass": bool(rows_a == rows_b and mism == 0)}))
+                  "genuinely_killed": bool(int("$KILLED")),
+                  "pass": bool(rows_a == rows_b and mism == 0 and int("$KILLED") == 1)}))
 EOF
 echo ']}' >> "$OUT.tmp"
 python - <<'EOF'
