@@ -51,6 +51,28 @@ def get_spark(
         # accumulating stale blocks (a measured source of run-to-run
         # variance on the bench box).
         .config("spark.cleaner.periodicGC.interval", "2min")
+        # Spark's generated-class cache (CodeGenerator.cache) defaults to
+        # 100 entries — ONE fiedler solve plans ~114 distinct codegen
+        # units, so every Lanczos/CG iteration evicts the previous
+        # iteration's classes and re-runs sequential Janino compiles on
+        # the driver, forever. Measured (tools/codegen_cache_probe.py,
+        # sf0.1, identical second solve in a warm JVM): cache=100 →
+        # 87-109 recompiles; cache=8192 → **0** recompiles. The compile
+        # COUNT is the deterministic, reproducible signal; the wall win
+        # is real but modest on the bench box and partially masked by
+        # its documented JVM noise (fresh-JVM min-to-min A/B, 3× each:
+        # 62.0s → 50.6s; one warm-JVM pair measured 111.5s → 26.5s, a
+        # later identical pair 29.4s vs 67.9s — spreads exceed the
+        # delta). The generated sources are iteration-invariant on BOTH
+        # group-scalar paths (literal doubles compile by value into
+        # cached classes keyed on source text — see
+        # tools/codegen_bisect_probe.py), so a big-enough cache turns
+        # every iteration after the first into pure execution and, on a
+        # shared driver, stops the per-iteration compile stalls that
+        # serialize job submission. Entries hold source + compiled class
+        # (~10-100 KB); 4096 ≈ ≤400 MB on a 48g driver, paid once
+        # per JVM.
+        .config("spark.sql.codegen.cache.maxEntries", "4096")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
