@@ -281,3 +281,20 @@ def test_grouped_rank_plan_has_no_live_range_exchange(spark):
     out = grouped_rank(df, "grp", ["val", "vid"], "rn")
     plan = out._jdf.queryExecution().executedPlan().toString().lower()
     assert "rangepartitioning" not in plan, plan[:400]
+
+
+# ---------------------------------------------------------------------------
+# session conf contract: the measured engine confs must survive refactors
+
+
+def test_get_spark_sets_measured_engine_confs(spark):
+    """Guards the three session confs whose values were each set from a
+    measurement (BENCH_SCALING.jsonl / BASELINE.md): the codegen class
+    cache raised past one Fiedler solve's ~114 codegen units (default
+    100 -> 87-109 Janino recompiles per warm solve, raised -> 0), the
+    periodic driver GC that drops stale localCheckpoint blocks, and AQE
+    on as the skew-split backstop. A silent revert of any of these
+    would not fail a correctness test — only this contract."""
+    assert int(spark.conf.get("spark.sql.codegen.cache.maxEntries")) >= 4096
+    assert spark.conf.get("spark.cleaner.periodicGC.interval") == "2min"
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
