@@ -8,13 +8,20 @@ highest count first, then smallest label — fully reproducible, so the
 SQL oracle can replay it exactly.
 
 Each round: gather neighbor labels (one shuffle), count per (vid,
-label), window-pick the argmax. Synchronous update (all vertices move
-together) for determinism; fixed round count for oracle parity.
+label), argmax via a map-side-combinable `groupBy(vid).max(struct)`
+pick. NOT a `row_number().over(partitionBy(vid))` window: the per-vid
+row count equals the number of distinct neighbor labels (≤ degree), so
+at iteration 0 a 10⁸-degree hub would funnel 10⁸ count rows through ONE
+window task — and AQE's skew split cannot divide a window key. The
+struct-max aggregate partial-aggregates inside each map task instead
+(same hub-safe shape as pagerank's salted_agg and CC's min-agg).
+Synchronous update (all vertices move together) for determinism; fixed
+round count for oracle parity.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from parrsb_spark.functions.spmv import symmetrize
@@ -40,7 +47,6 @@ def label_propagation(
     from parrsb_spark.config import default_options as _dflt
 
     mx = sym.groupBy("src").agg(F.count("*").alias("d")).agg(F.max("d")).collect()[0][0]
-    w = Window.partitionBy("vid").orderBy(F.desc("cnt"), F.asc("label"))
     # `with` (not a bare __enter__) so an exception inside the loop still
     # restores the session AQE/constraint-propagation conf on exit
     with iterative_conf(spark, disable_aqe=(mx or 0) <= _dflt().salt_degree_threshold):
@@ -49,9 +55,13 @@ def label_propagation(
                 F.col("dst").alias("vid"), "label"
             )
             counts = nbr.groupBy("vid", "label").agg(F.count("*").alias("cnt"))
-            pick = counts.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).select(
-                "vid", F.col("label").alias("new_label")
-            )
+            # deterministic argmax — count desc, label asc — as a struct
+            # max: (cnt, −label) orders field-by-field, so the max is the
+            # highest count, smallest label. Map-side combinable (a hub's
+            # count rows reduce inside every task), unlike a window pick.
+            pick = counts.groupBy("vid").agg(
+                F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("_nl"))).alias("m")
+            ).select("vid", (-F.col("m._nl")).alias("new_label"))
             labels = labels.join(pick, "vid", "left").select(
                 "vid", F.coalesce("new_label", "label").alias("label")
             )
