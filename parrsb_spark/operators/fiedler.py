@@ -75,6 +75,7 @@ def _attach_group_scalars(
     scalars: dict[str, dict] | None = None,
     arrays: dict[str, dict] | None = None,
     threshold: int | None = None,
+    how: str = "inner",
 ) -> tuple[DataFrame, dict]:
     """Per-group scalars (and array weights) for a plan, with an
     automatic physical fallback. Returns (df', {name: Column}).
@@ -96,7 +97,13 @@ def _attach_group_scalars(
     In the broadcast branch the joined columns are named `_sc_<name>`;
     callers that must preserve schema drop them via
     `_drop_group_scalars` (selects with explicit column lists need
-    nothing)."""
+    nothing).
+
+    `how="left"` keeps rows whose grp is ABSENT from the dicts (their
+    scalar columns come back null — identical to the literal branch's
+    missing-key map lookup). Callers whose scalar dicts cover only a
+    SUBSET of the groups in `df` must pass it: the default inner join
+    would silently drop the uncovered groups' rows."""
     scalars = scalars or {}
     arrays = arrays or {}
     if threshold is None:
@@ -124,7 +131,7 @@ def _attach_group_scalars(
     )
     sdf = F.broadcast(spark.createDataFrame(rows, schema=schema))
     out_cols = {k: F.col(f"_sc_{k}") for k in snames + anames}
-    return df.join(sdf, "grp"), out_cols
+    return df.join(sdf, "grp", how), out_cols
 
 
 def _drop_group_scalars(df: DataFrame) -> DataFrame:

@@ -174,7 +174,9 @@ def rsb_partition(
             "rn",
             F.when(F.col("rn") <= F.col("target0"), 0).otherwise(1).alias("half"),
         )
-        assigned = _tie_break_boundary(sym, ranked, assigned)
+        assigned = _tie_break_boundary(
+            sym, ranked, assigned, threshold=opts.group_scalar_broadcast_threshold
+        )
         if lineage is not None:
             # rank-exact split + boundary tie-break probes (RSB_SORT +
             # RSB_BALANCE collapse into one phase here — the rank-exact
@@ -261,7 +263,12 @@ def rsb_resumable(
     return rsb_partition(edges, k, opts=opts, ckpt_dir=ckpt_dir, **kw)
 
 
-def _tie_break_boundary(sym: DataFrame, ranked: DataFrame, assigned: DataFrame) -> DataFrame:
+def _tie_break_boundary(
+    sym: DataFrame,
+    ranked: DataFrame,
+    assigned: DataFrame,
+    threshold: int | None = None,
+) -> DataFrame:
     """Cut-aware handling of fiedler TIES at the split boundary (E7).
 
     The reference's balance fix-up moves *boundary* elements between the
@@ -283,6 +290,16 @@ def _tie_break_boundary(sym: DataFrame, ranked: DataFrame, assigned: DataFrame) 
 
     Cost discipline: one tiny per-group aggregate decides whether ANY
     group has a boundary tie; the common untied case pays nothing else.
+
+    Per-group scalars (the tie value and the half-0 quota) go through
+    `_attach_group_scalars`, not raw `_lit_map`: a deep-k cut where
+    THOUSANDS of groups tie at the boundary (symmetric meshes at k=2¹⁴)
+    would otherwise rebuild multi-thousand-entry map LITERALS in the
+    plan — the exact plan-width hazard the broadcast fallback exists
+    for. `threshold` is the caller's
+    `opts.group_scalar_broadcast_threshold`; the tie map covers only
+    the tied groups, so its attach is `how="left"` (the broadcast
+    branch's inner join would silently drop every untied group's rows).
     """
     spark = sym.sparkSession
     # boundary fiedler values: ranks target0 / target0+1
@@ -307,10 +324,16 @@ def _tie_break_boundary(sym: DataFrame, ranked: DataFrame, assigned: DataFrame) 
     if not bvals:
         return assigned
     tie_map = {int(r["grp"]): float(r["f_tie"]) for r in bvals}
-    from parrsb_spark.operators.fiedler import _lit_map
+    from parrsb_spark.operators.fiedler import (
+        _attach_group_scalars,
+        _drop_group_scalars,
+    )
 
     tied_groups = sorted(tie_map)
-    f_tie_col = _lit_map(tie_map)[F.col("grp")]
+    a0, sct = _attach_group_scalars(
+        assigned, {"f_tie": tie_map}, threshold=threshold, how="left"
+    )
+    f_tie_col = sct["f_tie"]
     is_tied = (
         F.col("grp").isin(tied_groups)
         & (
@@ -318,7 +341,7 @@ def _tie_break_boundary(sym: DataFrame, ranked: DataFrame, assigned: DataFrame) 
             <= F.lit(1e-9) * F.greatest(F.abs(f_tie_col), F.abs("fiedler"))
         )
     )
-    a = assigned.withColumn("tied", is_tied).localCheckpoint(eager=True)
+    a = _drop_group_scalars(a0.withColumn("tied", is_tied)).localCheckpoint(eager=True)
     fixed = a.filter(~F.col("tied")).select(
         F.col("vid").alias("nbr"), F.col("grp").alias("ngrp"), F.col("half").alias("nhalf")
     )
@@ -343,15 +366,21 @@ def _tie_break_boundary(sym: DataFrame, ranked: DataFrame, assigned: DataFrame) 
         # band CAN be an entire group — cliques, regular graphs)
         .withColumn("_ns", -F.col("score"))
     )
-    re_t = (
-        grouped_rank(scored, "grp", ["_ns", "vid"], "trn")
-        .withColumn(
-            "half",
-            F.when(F.col("trn") <= _lit_map(quota)[F.col("grp")], 0).otherwise(1),
-        )
-        .select("vid", "grp", "fiedler", "rn", "half", "tied")
+    ranked_t, scq = _attach_group_scalars(
+        grouped_rank(scored, "grp", ["_ns", "vid"], "trn"),
+        {"quota": quota},
+        threshold=threshold,
     )
-    return a.filter(~F.col("tied")).union(re_t).drop("tied")
+    re_t = ranked_t.withColumn(
+        "half", F.when(F.col("trn") <= scq["quota"], 0).otherwise(1)
+    ).select("vid", "grp", "fiedler", "rn", "half", "tied")
+    # explicit column order on BOTH union sides: the broadcast scalar
+    # attach is a join on grp, which moves grp to column 0 — a bare
+    # positional union would silently swap vid/grp
+    untied_out = a.filter(~F.col("tied")).select(
+        "vid", "grp", "fiedler", "rn", "half", "tied"
+    )
+    return untied_out.union(re_t).drop("tied")
 
 
 def _pre_partition_order(
