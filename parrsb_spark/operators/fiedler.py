@@ -585,20 +585,71 @@ def _inverse_driver(spark, e, base, sizes, opts, state0) -> DataFrame:
 
     f = z
     for pss in range(max(1, opts.rsb_max_passes)):
-        # ---- project(): PCG solve of L x = z on 1⊥ (ref fiedler.c:96-186)
+        # ---- project(): PCG solve of L x = z on 1⊥ (ref fiedler.c:96-186).
+        #
+        # Collect discipline (Lanczos parity): ONE _group_scalars per
+        # sequential dependency, TWO per iteration total, matching the
+        # two reductions CG fundamentally needs (alpha's p·Lp before the
+        # step, beta's r·z after the new preconditioner apply).
+        # Everything else is fused into those two aggregates:
+        # - the ortho_mean mean rides the rz aggregate: with zp the RAW
+        #   preconditioner output, Σrv·(zp−mu) = Σrv·zp − mu·Σrv, and the
+        #   centering itself is applied lazily via the attached mu scalar;
+        # - the convergence ‖r‖² uses the CG recurrence
+        #   rr' = rr − 2α·Σrv·Lp + α²·Σ(Lp)² (terms from the alpha
+        #   aggregate; clamped at 0), re-synced to the exact Σrv² carried
+        #   by the beta aggregate every surviving iteration — so drift
+        #   never exceeds one step and the break happens BEFORE paying
+        #   the next V-cycle (ref fiedler.c's rtr check placement).
         st = z.select("grp", "r", F.col("z").alias("b"))
         st = st.withColumn("x", F.lit(0.0)).withColumn("rv", F.col("b"))
         zp = mg_vcycle(h, st.select("grp", "r", F.col("rv").alias("x")))
         st = st.join(zp, ["grp", "r"]).withColumnRenamed("z", "zp")
-        st = _hard_truncate(_ortho_mean(st, "zp").withColumn("p", F.col("zp")))
-        sc0 = _group_scalars(st, {"rr": F.sum(F.col("rv") ** 2), "rz": F.sum(F.col("rv") * F.col("zp"))})
+        sc0 = _group_scalars(
+            st,
+            {
+                "rr": F.sum(F.col("rv") ** 2),
+                "s_zp": F.sum("zp"),
+                "n": F.count(F.lit(1)),
+                "rvzp": F.sum(F.col("rv") * F.col("zp")),
+                "s_rv": F.sum("rv"),
+            },
+        )
+        mu0 = {g: (sc0[g]["s_zp"] / sc0[g]["n"] if sc0[g]["n"] else 0.0) for g in groups}
         rtol = {g: sc0[g]["rr"] * tol * tol for g in groups}
-        rz1 = {g: sc0[g]["rz"] for g in groups}
+        rz1 = {g: sc0[g]["rvzp"] - mu0[g] * sc0[g]["s_rv"] for g in groups}
+        rr1 = {g: sc0[g]["rr"] for g in groups}
+        st, scm = _attach_group_scalars(
+            st, {"mu": mu0}, threshold=opts.group_scalar_broadcast_threshold
+        )
+        zp_c = F.col("zp") - scm["mu"]
+        st = _hard_truncate(
+            st.select("grp", "r", "b", "x", "rv", zp_c.alias("zp"), zp_c.alias("p"))
+        )
         iters = 0
         for it in range(miter):
             stw = lap_apply(st, "p")
-            pw = _group_scalars(stw, {"pw": F.sum(F.col("p") * F.col("_w"))})
-            alpha = {g: (rz1[g] / pw[g]["pw"] if abs(pw[g]["pw"]) > _EPS else 0.0) for g in groups}
+            sca_red = _group_scalars(
+                stw,
+                {
+                    "pw": F.sum(F.col("p") * F.col("_w")),
+                    "rw": F.sum(F.col("rv") * F.col("_w")),
+                    "ww": F.sum(F.col("_w") ** 2),
+                },
+            )
+            alpha = {
+                g: (rz1[g] / sca_red[g]["pw"] if abs(sca_red[g]["pw"]) > _EPS else 0.0)
+                for g in groups
+            }
+            rr_rec = {
+                g: max(
+                    0.0,
+                    rr1[g]
+                    - 2.0 * alpha[g] * sca_red[g]["rw"]
+                    + alpha[g] * alpha[g] * sca_red[g]["ww"],
+                )
+                for g in groups
+            }
             stw, sca = _attach_group_scalars(
                 stw, {"alpha": alpha}, threshold=opts.group_scalar_broadcast_threshold
             )
@@ -610,42 +661,63 @@ def _inverse_driver(spark, e, base, sizes, opts, state0) -> DataFrame:
                 "p",
             )
             st = _hard_truncate(st)
-            rr = _group_scalars(st, {"rr": F.sum(F.col("rv") ** 2)})
             iters = it + 1
-            if all(rr[g]["rr"] < rtol[g] or math.sqrt(rr[g]["rr"]) < tol for g in groups):
+            rr1 = rr_rec
+            if all(rr_rec[g] < rtol[g] or math.sqrt(rr_rec[g]) < tol for g in groups):
                 break
             zp_new = mg_vcycle(h, st.select("grp", "r", F.col("rv").alias("x")))
             st = (
                 st.withColumnRenamed("zp", "zp0")
                 .join(zp_new.withColumnRenamed("z", "zp"), ["grp", "r"])
             )
-            st = _ortho_mean(st, "zp")
             sc = _group_scalars(
                 st,
                 {
-                    "rz1": F.sum(F.col("rv") * F.col("zp")),
-                    "rz2": F.sum(F.col("rv") * (F.col("zp") - F.col("zp0"))),
+                    "rr": F.sum(F.col("rv") ** 2),
+                    "s_zp": F.sum("zp"),
+                    "n": F.count(F.lit(1)),
+                    "s_rv": F.sum("rv"),
+                    "rvzp": F.sum(F.col("rv") * F.col("zp")),
+                    "rvzp0": F.sum(F.col("rv") * F.col("zp0")),
                 },
             )
-            beta = {g: (sc[g]["rz2"] / rz1[g] if abs(rz1[g]) > _EPS else 0.0) for g in groups}
-            rz1 = {g: sc[g]["rz1"] for g in groups}
+            mu = {g: (sc[g]["s_zp"] / sc[g]["n"] if sc[g]["n"] else 0.0) for g in groups}
+            rz_new = {g: sc[g]["rvzp"] - mu[g] * sc[g]["s_rv"] for g in groups}
+            rz2 = {g: rz_new[g] - sc[g]["rvzp0"] for g in groups}
+            beta = {g: (rz2[g] / rz1[g] if abs(rz1[g]) > _EPS else 0.0) for g in groups}
+            rz1 = rz_new
+            rr1 = {g: sc[g]["rr"] for g in groups}  # exact re-sync of the recurrence
             st, scb = _attach_group_scalars(
-                st, {"beta": beta}, threshold=opts.group_scalar_broadcast_threshold
+                st,
+                {"beta": beta, "mu": mu},
+                threshold=opts.group_scalar_broadcast_threshold,
             )
-            b_col = scb["beta"]
+            zp_c = F.col("zp") - scb["mu"]
             st = st.select(
-                "grp", "r", "b", "x", "rv", "zp",
-                (F.col("zp") + b_col * F.col("p")).alias("p"),
+                "grp", "r", "b", "x", "rv", zp_c.alias("zp"),
+                (zp_c + scb["beta"] * F.col("p")).alias("p"),
             ).localCheckpoint(eager=True)
 
-        # ---- outer update: ortho, normalize (ref fiedler.c:231-247)
-        y = _ortho_mean(st.select("grp", "r", F.col("x").alias("y")), "y")
-        nrm = _group_scalars(y, {"nn": F.sum(F.col("y") ** 2)})
-        nrm_d = {g: (math.sqrt(v["nn"]) if v["nn"] > _EPS else 1.0) for g, v in nrm.items()}
-        y, scn = _attach_group_scalars(
-            y, {"nrm": nrm_d}, threshold=opts.group_scalar_broadcast_threshold
+        # ---- outer update: ortho, normalize (ref fiedler.c:231-247).
+        # Mean and norm fused into one aggregate: Σ(y−μ)² = Σy² − n·μ²
+        # (clamped at 0 — y is near-centered already, the CG step adds
+        # centered directions, so the cancellation risk is nil). The
+        # final _ortho_mean is the safety re-centering against float
+        # drift of that near-centeredness.
+        y = st.select("grp", "r", F.col("x").alias("y"))
+        scy = _group_scalars(
+            y,
+            {"s_y": F.sum("y"), "n": F.count(F.lit(1)), "yy": F.sum(F.col("y") ** 2)},
         )
-        z = y.select("grp", "r", (F.col("y") / scn["nrm"]).alias("z"))
+        mu_y = {g: (v["s_y"] / v["n"] if v["n"] else 0.0) for g, v in scy.items()}
+        nn = {g: max(0.0, v["yy"] - v["n"] * mu_y[g] ** 2) for g, v in scy.items()}
+        nrm_d = {g: (math.sqrt(v) if v > _EPS else 1.0) for g, v in nn.items()}
+        y, scn = _attach_group_scalars(
+            y,
+            {"mu": mu_y, "nrm": nrm_d},
+            threshold=opts.group_scalar_broadcast_threshold,
+        )
+        z = y.select("grp", "r", ((F.col("y") - scn["mu"]) / scn["nrm"]).alias("z"))
         z = _hard_truncate(_ortho_mean(z, "z"))
         f = z
         if iters <= 1:

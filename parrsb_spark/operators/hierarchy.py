@@ -73,11 +73,15 @@ def rsb_partition_two_level(
         lineage=lineage,
         check_components=check_components,
     )
+    # per-level lineage tags: the reference reports stats PER LEVEL over
+    # each level's communicator (ref src/helpers.c:132-224); tagging the
+    # rows rsb_l1/rsb_l2 gives `format_phase_report` the same split
     node_map = rsb_partition(
         edges,
         num_nodes,
         vertices=vertices,
         ckpt_dir=f"{ckpt_dir}/level1" if ckpt_dir else None,
+        lineage_tag="rsb_l1",
         **kw,
     )
     if ranks_per_node == 1:
@@ -90,6 +94,7 @@ def rsb_partition_two_level(
         ranks_per_node,
         seed_parts=node_map,
         ckpt_dir=f"{ckpt_dir}/level2" if ckpt_dir else None,
+        lineage_tag="rsb_l2",
         **kw,
     )
     # seed groups are the dense node ids 0..num_nodes-1, and the seeded

@@ -48,6 +48,7 @@ def rsb_partition(
     coords: DataFrame | None = None,
     ckpt_dir: str | None = None,
     max_cuts: int | None = None,
+    lineage_tag: str = "rsb",
 ) -> DataFrame:
     """Returns (vid, part) with part ∈ [0, k) and |part sizes| within ±1 of
     each other along every bisection (reference balance contract; waived
@@ -81,7 +82,12 @@ def rsb_partition(
     stored. `max_cuts` bounds the TOTAL bisection depth (resume-aware);
     an early exit returns the intermediate (vid, part) state (part ids
     are tree-node ids, not dense leaves) for a later resumed run to
-    finish."""
+    finish.
+
+    `lineage_tag` names this run's lineage/checkpoint rows (default
+    "rsb"); the two-level driver tags its levels rsb_l1/rsb_l2 so one
+    shared LineageLog splits per level, the reference's per-level stat
+    reporting (ref src/helpers.c:132-224)."""
     opts = opts or default_options()
     spark = edges.sparkSession
     if seed_parts is not None:
@@ -98,7 +104,7 @@ def rsb_partition(
         from parrsb_spark.plans.lineage import LineageLog, latest_checkpoint
 
         ckpt_log = LineageLog(spark, ckpt_dir)
-        resume = latest_checkpoint(spark, ckpt_dir, "rsb")
+        resume = latest_checkpoint(spark, ckpt_dir, lineage_tag)
         if resume is not None:
             done_cut, state = resume
             cut = done_cut + 1
@@ -124,7 +130,7 @@ def rsb_partition(
             if lineage is not None
             else (lambda *a, **k: _ctx.nullcontext())
         )
-        with ph("rsb", "pre", cut):
+        with ph(lineage_tag, "pre", cut):
             init_order = _pre_partition_order(state, coords, active, opts)
         _t_fied = _time.monotonic()
         fied = fiedler(
@@ -148,7 +154,7 @@ def rsb_partition(
         if lineage is not None:
             # the size collect is the first action on fied — it materializes
             # the recombined fiedler DF, so it belongs to the fiedler phase
-            lineage.phase_mark("rsb", "fiedler", cut, _time.monotonic() - _t_fied)
+            lineage.phase_mark(lineage_tag, "fiedler", cut, _time.monotonic() - _t_fied)
         if opts.verbose:
             # the parrsb_print per-cut progress line (ref src/rsb.c:276-300)
             print(f"rsb: cut={cut} active_groups={len(active)} n={sum(sizes.values())}")
@@ -181,7 +187,7 @@ def rsb_partition(
             # rank-exact split + boundary tie-break probes (RSB_SORT +
             # RSB_BALANCE collapse into one phase here — the rank-exact
             # split needs no post-hoc balance fix-up, ref src/rsb.c:118-229)
-            lineage.phase_mark("rsb", "sort", cut, _time.monotonic() - _t_sort)
+            lineage.phase_mark(lineage_tag, "sort", cut, _time.monotonic() - _t_sort)
         assigned = assigned.select(
             "vid", (F.col("grp") * 2 + F.col("half")).alias("part")
         )
@@ -195,23 +201,23 @@ def rsb_partition(
         if opts.repair:
             new_parts = sorted({g * 2 for g in active} | {g * 2 + 1 for g in active})
             state = _repair_parts(sym, state, new_parts)
-        with ph("rsb", "checkpoint", cut):
+        with ph(lineage_tag, "checkpoint", cut):
             if ckpt_log is not None:
                 # durable snapshot + lineage row (write-state-then-log: a
                 # crash between the two leaves the PREVIOUS cut resumable)
                 from parrsb_spark.plans.lineage import checkpoint_state
 
-                state = checkpoint_state(state, ckpt_log, "rsb", cut)
+                state = checkpoint_state(state, ckpt_log, lineage_tag, cut)
             else:
                 state = state.localCheckpoint(eager=True)
         np_of = new_np
 
         if check_components:
-            with ph("rsb", "components", cut):
+            with ph(lineage_tag, "components", cut):
                 _component_check(edges, state, cut)
         if lineage is not None:
             lineage.record_many(
-                [("rsb", cut, int(g), None, int(n_g)) for g, n_g in sizes.items()]
+                [(lineage_tag, cut, int(g), None, int(n_g)) for g, n_g in sizes.items()]
             )
             lineage.flush_phases()
         cut += 1

@@ -150,28 +150,63 @@ def ann_lsh_topk(
     n_planes: int = 8,
     seed: int = 42,
     broadcast_queries: bool | None = None,
+    n_tables: int = 1,
 ) -> DataFrame:
-    """(q_id, vec_id, cos, rank) — approximate top-k: only corpus vectors in
-    the query's LSH bucket are scored. Recall < 1 by design; raise recall
-    with multi-probe (fewer planes) or multiple tables (vary seed).
+    """(q_id, vec_id, cos, rank) — approximate top-k: only corpus vectors
+    sharing an LSH bucket with the query (in ANY of `n_tables` independent
+    hash tables) are scored. Recall < 1 by design; the two knobs:
+    - fewer `n_planes` → bigger buckets → higher recall, more rerank work;
+    - more `n_tables` → a vector only needs to collide in ONE table, so
+      recall ≈ 1 − (1 − p^planes)^tables rises with tables at constant
+      per-bucket cost. Tables use derived seeds (seed, seed+1, …); the
+      candidate union is deduped on (q_id, vec_id) BEFORE the exact
+      rerank so a pair colliding in several tables is scored once.
 
     The query-side broadcast is gated exactly like `cosine_topk`
     (`_should_broadcast_queries`); past the threshold the candidate join
     stays a plain shuffle equi-join on the bucket key — it is already
     keyed, so the fallback shuffles instead of OOMing (no crossJoin
     risk either way)."""
+    if n_tables < 1:
+        raise ValueError("n_tables must be >= 1")
     if broadcast_queries is None:
         broadcast_queries = _should_broadcast_queries(queries)
-    sig_c = lsh_signatures(corpus, n_planes, seed).withColumnRenamed("id", "vec_id")
-    sig_q = lsh_signatures(queries, n_planes, seed, id_col="q_id").withColumnRenamed("id", "q_id")
-    c = corpus.select("vec_id", F.col("embedding").cast("array<double>").alias("v")).join(
-        sig_c, "vec_id"
+    c = corpus.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
     ).withColumn("nv", _norm("v"))
-    q = queries.select("q_id", F.col("embedding").cast("array<double>").alias("qv")).join(
-        sig_q, "q_id"
+    q = queries.select(
+        "q_id", F.col("embedding").cast("array<double>").alias("qv")
     ).withColumn("nq", _norm("qv"))
+    if n_tables == 1:
+        sig_c = lsh_signatures(corpus, n_planes, seed).withColumnRenamed("id", "vec_id")
+        sig_q = lsh_signatures(queries, n_planes, seed, id_col="q_id").withColumnRenamed(
+            "id", "q_id"
+        )
+        cb = c.join(sig_c, "vec_id")
+        qb = q.join(sig_q, "q_id")
+        scored = (
+            cb.join(F.broadcast(qb) if broadcast_queries else qb, "bucket")
+            .withColumn("cos", _dot("v", "qv") / (F.col("nv") * F.col("nq")))
+            .select("q_id", "vec_id", F.round("cos", 9).alias("cos"))
+        )
+        return _topk_per_query(scored, k)
+    # multi-table: candidate (q_id, vec_id) pairs per table, union, dedup,
+    # then ONE exact rerank over the deduped set. The per-table join moves
+    # only (id, bucket) pairs — the embeddings join in once, post-dedup.
+    cands = None
+    for t in range(n_tables):
+        sig_c = lsh_signatures(corpus, n_planes, seed + t).withColumnRenamed("id", "vec_id")
+        sig_q = lsh_signatures(queries, n_planes, seed + t, id_col="q_id").withColumnRenamed(
+            "id", "q_id"
+        )
+        pairs = sig_c.join(
+            F.broadcast(sig_q) if broadcast_queries else sig_q, "bucket"
+        ).select("q_id", "vec_id")
+        cands = pairs if cands is None else cands.unionByName(pairs)
+    cands = cands.distinct()
     scored = (
-        c.join(F.broadcast(q) if broadcast_queries else q, "bucket")
+        cands.join(c, "vec_id")
+        .join(F.broadcast(q) if broadcast_queries else q, "q_id")
         .withColumn("cos", _dot("v", "qv") / (F.col("nv") * F.col("nq")))
         .select("q_id", "vec_id", F.round("cos", 9).alias("cos"))
     )

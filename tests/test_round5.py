@@ -93,6 +93,130 @@ def test_rsb_broadcast_scalars_end_to_end_identical(spark):
     assert lit_map == bc_map
 
 
+# ---------------------------------------------------------------------------
+# inverse/CG path: two scalar collects per iteration (Lanczos parity)
+
+
+def test_cg_two_collects_per_iteration(spark, monkeypatch):
+    """The PCG loop pays exactly TWO _group_scalars reductions per
+    iteration — the two CG fundamentally needs (alpha's p·Lp, beta's
+    r·z) — with ‖r‖², the ortho mean, and the Polak–Ribière terms fused
+    into them. Fixed-step protocol (tol=0 → no early break) makes the
+    count deterministic:
+      1 (fused setup rr/mu/rz)
+    + 2·miter (alpha agg + beta agg per iteration)
+    + 2 (outer update: ortho mean + norm)
+    + 1 (final output norm)
+    """
+    import importlib
+
+    # the operators package re-exports the fiedler FUNCTION over the
+    # submodule name, so a plain `import ... as fmod` binds the function
+    fmod = importlib.import_module("parrsb_spark.operators.fiedler")
+    from parrsb_spark.config import EngineOptions
+
+    fiedler = fmod.fiedler
+
+    calls = []
+    orig = fmod._group_scalars
+
+    def counting(df, exprs):
+        calls.append(sorted(exprs))
+        return orig(df, exprs)
+
+    monkeypatch.setattr(fmod, "_group_scalars", counting)
+    df = graphs.to_df(spark, [(i, i + 1) for i in range(1, 12)])
+    miter = 4
+    opts = EngineOptions(
+        rsb_max_iter=miter, rsb_max_passes=1, rsb_tol=0.0,
+        rsb_algo="inverse", mg_tail_threshold=4,
+    )
+    fiedler(df, opts=opts).count()
+    assert len(calls) == 1 + 2 * miter + 2 + 1, calls
+
+
+# ---------------------------------------------------------------------------
+# ANN: multi-table recall lift
+
+
+def _ann_fixture(spark):
+    """Deterministic CLUSTERED corpus (24 clusters × 5 members) +
+    OFF-corpus queries (perturbed cluster centers, fresh q_ids): each
+    query's true top-5 is exactly its cluster's 5 members — genuinely
+    high-cosine neighbors LSH can miss per-table but recovers across
+    tables. Off-corpus queries matter: a query that IS a corpus vector
+    always shares its own bucket, making recall@1 a tautology."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(24, 16))
+    base = np.concatenate([c + 0.08 * rng.normal(size=(5, 16)) for c in centers])
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(len(base))],
+        schema="vec_id long, embedding array<double>",
+    )
+    qs = centers[:8] + 0.08 * rng.normal(size=(8, 16))
+    queries = spark.createDataFrame(
+        [(1000 + i, [float(x) for x in qs[i]]) for i in range(len(qs))],
+        schema="q_id long, embedding array<double>",
+    )
+    return corpus, queries
+
+
+def _recall_at_k(exact, approx, k):
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    return hits / (len(exact) * k)
+
+
+def test_ann_multi_table_recall_lift(spark):
+    """n_tables=4 must recover top-k neighbors the single table misses:
+    recall@k strictly rises, reaching ≥0.9 at 4 tables on this fixture,
+    and every returned pair is exact-verified (cos values match the
+    brute-force oracle — multi-table changes candidate COVERAGE, never
+    scoring)."""
+    from parrsb_spark.operators.similarity import ann_lsh_topk, cosine_topk
+
+    corpus, queries = _ann_fixture(spark)
+    k = 5
+    exact_rows = cosine_topk(corpus, queries, k=k).collect()
+    exact = {}
+    true_cos = {}
+    for r in exact_rows:
+        exact.setdefault(r["q_id"], set()).add(r["vec_id"])
+        true_cos[(r["q_id"], r["vec_id"])] = r["cos"]
+
+    recalls = {}
+    for nt in (1, 4):
+        rows = ann_lsh_topk(corpus, queries, k=k, n_planes=12, n_tables=nt).collect()
+        approx = {}
+        for r in rows:
+            approx.setdefault(r["q_id"], set()).add(r["vec_id"])
+            if (r["q_id"], r["vec_id"]) in true_cos:
+                assert abs(r["cos"] - true_cos[(r["q_id"], r["vec_id"])]) < 1e-9
+        recalls[nt] = _recall_at_k(exact, approx, k)
+    assert recalls[1] < 1.0, "fixture must leave headroom for the lift"
+    assert recalls[4] > recalls[1], recalls
+    assert recalls[4] >= 0.9, recalls
+
+
+def test_ann_multi_table_dedups_candidates(spark):
+    """A pair colliding in several tables is scored ONCE: the result has
+    no duplicate (q_id, vec_id) rows and rank stays a 1..k permutation."""
+    from parrsb_spark.operators.similarity import ann_lsh_topk
+
+    corpus, queries = _ann_fixture(spark)
+    rows = ann_lsh_topk(corpus, queries, k=3, n_planes=4, n_tables=6).collect()
+    seen = {}
+    for r in rows:
+        assert (r["q_id"], r["vec_id"]) not in seen
+        seen[(r["q_id"], r["vec_id"])] = r["rank"]
+    by_q = {}
+    for (q, _), rank in seen.items():
+        by_q.setdefault(q, []).append(rank)
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), (q, ranks)
+
+
 def test_labelprop_plan_has_no_window(spark):
     """The loop plan must contain NO window node: the argmax is a
     map-side-combinable aggregate (AQE can split a skewed aggregate;

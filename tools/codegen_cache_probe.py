@@ -19,6 +19,7 @@ import json
 import os
 import subprocess
 import sys
+import tempfile
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
@@ -60,8 +61,15 @@ def main():
     for cache in (100, 8192):
         code = CHILD % {"repo": REPO, "cache": cache, "cpus": cpus,
                         "sf_dir": sf_dir, "iters": iters}
-        subprocess.run([sys.executable, "-c", code],
-                       stderr=subprocess.DEVNULL, check=True)
+        # keep the child's (very chatty) Spark stderr out of the JSON
+        # stream, but surface it on failure instead of discarding the
+        # only diagnostics a missing sf dir / OOM / import error leaves
+        with tempfile.NamedTemporaryFile("w+", suffix=".stderr") as errf:
+            r = subprocess.run([sys.executable, "-c", code], stderr=errf)
+            if r.returncode != 0:
+                errf.seek(0)
+                sys.stderr.write(errf.read()[-8000:])
+                sys.exit(f"child (cache={cache}) exited {r.returncode}")
 
 
 if __name__ == "__main__":

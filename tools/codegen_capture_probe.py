@@ -26,16 +26,31 @@ from parrsb_spark.operators.fiedler import fiedler
 from parrsb_spark.session import get_spark
 
 LOG = "/tmp/codegen_capture.log"
+L4J = "/tmp/l4j_codegen.properties"
+L4J_BODY = """\
+status = error
+appender.file.type = File
+appender.file.name = CGFILE
+appender.file.fileName = /tmp/codegen_capture.log
+appender.file.layout.type = PatternLayout
+appender.file.layout.pattern = %m%n
+logger.cg.name = org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+logger.cg.level = debug
+logger.cg.appenderRef.file.ref = CGFILE
+logger.cg.additivity = false
+rootLogger.level = error
+"""
 
 
 def main():
     iters = int(sys.argv[1]) if len(sys.argv) > 1 else 6
-    # the log4j2 config at /tmp/l4j_codegen.properties (written by the
-    # caller / see repo tools notes) routes the CodeGenerator logger at
+    # self-contained log4j2 config: routes the CodeGenerator logger at
     # DEBUG to /tmp/codegen_capture.log — every ACTUAL compile logs its
     # full source there; cache hits log nothing.
+    with open(L4J, "w") as f:
+        f.write(L4J_BODY)
     os.environ["JAVA_TOOL_OPTIONS"] = (
-        "-Dlog4j.configurationFile=/tmp/l4j_codegen.properties")
+        f"-Dlog4j.configurationFile={L4J}")
     if os.path.exists(LOG):
         os.remove(LOG)
     spark = get_spark(master="local[4]", app_name="codegen-capture",
@@ -50,7 +65,16 @@ def main():
     fiedler(edges, opts=opts).count()
     spark.stop()
 
-    text = open(LOG).read()[warm_bytes:]
+    if not os.path.exists(LOG):
+        sys.exit(
+            f"no {LOG} written — the JVM did not pick up {L4J} "
+            "(JAVA_TOOL_OPTIONS must be set before the gateway JVM starts; "
+            "re-run with no live SparkSession in this process)"
+        )
+    # slice at the BYTE offset, decode after: a multibyte char anywhere in
+    # the warm-run log would shift a str-index cut into the warm data
+    with open(LOG, "rb") as f:
+        text = f.read()[warm_bytes:].decode("utf-8", errors="replace")
     # each compile logs one big block starting with "/* 001 */"
     blocks = re.split(r"\nCode generated in [0-9.]+ ms\n?", text)
     srcs = []

@@ -35,15 +35,20 @@ def main():
 
     for iters in (5, 25):
         opts = EngineOptions(rsb_max_iter=iters, rsb_max_passes=1, rsb_tol=1e-4)
+        # public-API job counting: tag the solve with a job group and ask
+        # the status tracker how many jobs carried the tag (no reach into
+        # DAGScheduler internals)
+        group = f"fiedler-profile-{iters}"
         t0 = time.time()
-        j0 = sc._jsc.sc().dagScheduler().nextJobId().get() if hasattr(
-            sc._jsc.sc().dagScheduler().nextJobId(), "get") else sc._jsc.sc().dagScheduler().nextJobId()
-        fiedler(edges, opts=opts).count()
-        j1 = sc._jsc.sc().dagScheduler().nextJobId().get() if hasattr(
-            sc._jsc.sc().dagScheduler().nextJobId(), "get") else sc._jsc.sc().dagScheduler().nextJobId()
+        sc.setJobGroup(group, f"fiedler iters={iters}")
+        try:
+            fiedler(edges, opts=opts).count()
+        finally:
+            sc.setJobGroup("", "")
         dt = time.time() - t0
+        jobs = len(sc.statusTracker().getJobIdsForGroup(group))
         print(json.dumps({"iters": iters, "wall_s": round(dt, 2),
-                          "jobs": int(j1 - j0)}))
+                          "jobs": jobs}))
     spark.stop()
 
 
