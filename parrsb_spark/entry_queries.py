@@ -822,6 +822,32 @@ def sql_emb_cosine_topk(k: int = 5):
     )
 
 
+def q_emb_ann_lsh(spark, sf_dir):
+    """Multi-table LSH ANN contract row (the approximate sibling of
+    emb_cosine_topk; same style as the spectral CONTRACT rows — the
+    bucket assignment itself is md5-hyperplane arithmetic, not
+    SQL-expressible, so the oracle asserts the deterministic contract):
+    a query that IS a corpus vector shares its own signature in EVERY
+    table, survives the cross-table candidate dedup exactly once, and
+    must come back at rank 1 with cos = 1.0. Exercises the full
+    n_tables=4 path — per-table bucket joins, candidate union + dedup,
+    exact rerank, two-phase top-k. Recall-lift behavior is measured in
+    tests/test_round5.py on a clustered fixture."""
+    from parrsb_spark.operators.similarity import ann_lsh_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"), "embedding")
+    ann = ann_lsh_topk(emb, q, k=5, n_planes=8, n_tables=4)
+    return ann.filter(F.col("rank") == 1).select("q_id", "vec_id", "cos", "rank")
+
+
+def sql_emb_ann_lsh():
+    return (
+        "SELECT vec_id AS q_id, vec_id, CAST(1.0 AS DOUBLE) AS cos, 1 AS rank "
+        "FROM embeddings WHERE vec_id < 5"
+    )
+
+
 def q_emb_neardup(spark, sf_dir):
     """Banded hyperplane-LSH bucket join → exact cosine verify — the
     scale path (no crossJoin in the plan). The brute-force all-pairs SQL
@@ -927,6 +953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_ngram_jaccard": q_docs_ngram_jaccard,
         "docs_simhash": q_docs_simhash,
         "emb_cosine_topk": q_emb_cosine_topk,
+        "emb_ann_lsh": q_emb_ann_lsh,
         "emb_neardup": q_emb_neardup,
         "mm_image_meta": q_mm_image_meta,
     }
@@ -968,6 +995,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_ngram_jaccard": sql_docs_ngram_jaccard(),
         "docs_simhash": sql_docs_simhash(),
         "emb_cosine_topk": sql_emb_cosine_topk(),
+        "emb_ann_lsh": sql_emb_ann_lsh(),
         "emb_neardup": sql_emb_neardup(),
         "mm_image_meta": sql_mm_image_meta(),
     }
