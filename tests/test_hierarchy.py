@@ -76,6 +76,24 @@ def test_two_level_node_map_matches_standalone(spark):
     assert got == exp
 
 
+def test_two_level_equals_flat_full_k(spark):
+    """two_level(n, r) == flat(n·r) EXACTLY: the hierarchy driver re-groups
+    the same deterministic bisection sequence (flat k=n·r's first log2(n)
+    cuts are the level-1 solve, its remaining cuts are the seeded level-2
+    solve over the same groups), and part = node·rpn + local is the same
+    bit layout as flat's append-per-cut numbering. Verified at 64M edges
+    on the power-law synthgraph (BENCH_SCALING.jsonl round-5
+    two_level_scale: bit-identical part maps, identical inter/intra-node
+    cut split); this pins the contract at test scale."""
+    edges, _ = graphs.grid2d(16, 8)
+    df = graphs.to_df(spark, edges)
+    two = rsb_partition_two_level(df, 2, 2, opts=_opts())
+    flat = rsb_partition(df, 4, opts=_opts())
+    got = {r["vid"]: r["part"] for r in two.collect()}
+    exp = {r["vid"]: r["part"] for r in flat.collect()}
+    assert got == exp
+
+
 def test_two_level_stats_volumes(spark):
     """with_volumes: node-level comm volume ≤ rank-level (coarsening the
     part map can only drop distinct-part contacts)."""
