@@ -99,6 +99,12 @@ elif kernel == "rsb":
         prev = w
     # k=4 → 2 bisection levels, each a grouped Lanczos over every edge
     work = m * MITER * 2
+elif kernel == "labelprop":
+    from parrsb_spark.operators.labelprop import label_propagation
+
+    ITERS = 5
+    label_propagation(edges, n_iter=ITERS).select("label").distinct().count()
+    work = m * ITERS
 elif kernel == "triangles":
     from parrsb_spark.operators.triangles import triangle_total
 
