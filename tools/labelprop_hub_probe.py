@@ -29,7 +29,6 @@ import os
 import sys
 import time
 
-import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -64,18 +63,20 @@ def main():
 
     # star: spokes 2..H+1 -> hub 1. After symmetrize + one gather round,
     # the hub's neighbor labels are the H distinct spoke ids; build that
-    # count table directly (cnt=1 each) plus one (vid=spoke, label=1)
-    # row per spoke so non-hub vids exercise both paths too.
-    spokes = np.arange(2, H + 2, dtype=np.int64)
-    import pandas as pd
-
-    counts_pd = pd.concat([
-        pd.DataFrame({"vid": np.full(H, 1, dtype=np.int64), "label": spokes,
-                      "cnt": np.ones(H, dtype=np.int64)}),
-        pd.DataFrame({"vid": spokes, "label": np.ones(H, dtype=np.int64),
-                      "cnt": np.ones(H, dtype=np.int64)}),
-    ])
-    counts = spark.createDataFrame(counts_pd).repartition(int(cpus)).cache()
+    # count table directly (cnt=1 each, distributed spark.range — no
+    # driver materialization) plus one (vid=spoke, label=1) row per
+    # spoke so non-hub vids exercise both paths too.
+    hub_rows = spark.range(H).select(
+        F.lit(1).cast("long").alias("vid"),
+        (F.col("id") + 2).alias("label"),
+        F.lit(1).cast("long").alias("cnt"),
+    )
+    spoke_rows = spark.range(H).select(
+        (F.col("id") + 2).alias("vid"),
+        F.lit(1).cast("long").alias("label"),
+        F.lit(1).cast("long").alias("cnt"),
+    )
+    counts = hub_rows.union(spoke_rows).repartition(int(cpus)).cache()
     n_rows = counts.count()
 
     # correctness: identical picks (hub -> label 2, every spoke -> 1)
