@@ -830,14 +830,17 @@ def q_emb_ann_lsh(spark, sf_dir):
     a query that IS a corpus vector shares its own signature in EVERY
     table, survives the cross-table candidate dedup exactly once, and
     must come back at rank 1 with cos = 1.0. Exercises the full
-    n_tables=4 path — per-table bucket joins, candidate union + dedup,
-    exact rerank, two-phase top-k. Recall-lift behavior is measured in
-    tests/test_round5.py on a clustered fixture."""
+    n_tables=4 × n_probes=2 path — per-table bucket joins with
+    query-side probe fan-out, candidate union + dedup, exact rerank,
+    two-phase top-k (the base bucket is always probe 0, so the
+    self-match contract is unconditional). Recall-lift behavior for
+    both knobs is measured in tests/test_round5.py on a clustered
+    fixture."""
     from parrsb_spark.operators.similarity import ann_lsh_topk
 
     emb = _load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"), "embedding")
-    ann = ann_lsh_topk(emb, q, k=5, n_planes=8, n_tables=4)
+    ann = ann_lsh_topk(emb, q, k=5, n_planes=8, n_tables=4, n_probes=2)
     return ann.filter(F.col("rank") == 1).select("q_id", "vec_id", "cos", "rank")
 
 

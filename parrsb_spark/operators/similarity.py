@@ -143,6 +143,54 @@ def lsh_signatures(vecs: DataFrame, n_planes: int = 12, seed: int = 42, id_col: 
     return signbit_signatures(vecs, n_planes, seed, id_col).withColumnRenamed("sig", "bucket")
 
 
+def probe_buckets(
+    vecs: DataFrame,
+    n_planes: int = 12,
+    seed: int = 42,
+    id_col: str = "q_id",
+    n_probes: int = 1,
+    dim: int | None = None,
+) -> DataFrame:
+    """(id, bucket) with up to `n_probes` rows per vector — multi-probe
+    query buckets: the base sign-pattern bucket plus the buckets reached
+    by flipping the lowest-|margin| sign bits, one at a time, in margin
+    order (the classic multi-probe heuristic: a plane whose projection
+    is nearly zero is the one most likely to disagree between a query
+    and its true neighbors). Flipping only the QUERY side keeps the
+    corpus index at one row per vector — probing multiplies the small
+    side of the bucket join, never the 100 TB side. Same vectorized
+    pandas UDF shape as `signbit_signatures` (one matmul + one argsort
+    per Arrow batch)."""
+    spark = vecs.sparkSession
+    if n_probes < 1:
+        raise ValueError("n_probes must be >= 1")
+    if n_probes > n_planes + 1:
+        raise ValueError("n_probes can flip each plane at most once: need n_probes <= n_planes + 1")
+    if dim is None:
+        dim = len(vecs.select("embedding").first()["embedding"])
+    planes = _hyperplanes(dim, n_planes, seed)
+    bplanes = spark.sparkContext.broadcast(planes)
+    n_extra = n_probes - 1
+
+    @F.pandas_udf("array<long>")
+    def probes_udf(emb: pd.Series) -> pd.Series:
+        M = np.stack(emb.to_numpy())  # (batch, dim)
+        proj = M @ bplanes.value.T  # (batch, planes)
+        weights = 1 << np.arange(proj.shape[1], dtype=np.int64)
+        base = ((proj > 0) @ weights).astype(np.int64)  # (batch,)
+        if n_extra == 0:
+            return pd.Series([[b] for b in base])
+        # planes ranked by |margin| ascending; flip one per extra probe
+        order = np.argsort(np.abs(proj), axis=1)[:, :n_extra]  # (batch, n_extra)
+        flips = base[:, None] ^ (np.int64(1) << order.astype(np.int64))
+        return pd.Series([[b, *f] for b, f in zip(base, flips)])
+
+    return vecs.select(
+        F.col(id_col).alias("id"),
+        F.explode(probes_udf("embedding")).alias("bucket"),
+    )
+
+
 def ann_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -151,16 +199,24 @@ def ann_lsh_topk(
     seed: int = 42,
     broadcast_queries: bool | None = None,
     n_tables: int = 1,
+    n_probes: int = 1,
 ) -> DataFrame:
     """(q_id, vec_id, cos, rank) — approximate top-k: only corpus vectors
     sharing an LSH bucket with the query (in ANY of `n_tables` independent
-    hash tables) are scored. Recall < 1 by design; the two knobs:
+    hash tables, under ANY of the query's `n_probes` probe buckets) are
+    scored. Recall < 1 by design; the three knobs:
     - fewer `n_planes` → bigger buckets → higher recall, more rerank work;
     - more `n_tables` → a vector only needs to collide in ONE table, so
       recall ≈ 1 − (1 − p^planes)^tables rises with tables at constant
-      per-bucket cost. Tables use derived seeds (seed, seed+1, …); the
-      candidate union is deduped on (q_id, vec_id) BEFORE the exact
-      rerank so a pair colliding in several tables is scored once.
+      per-bucket cost — but each table re-hashes the CORPUS side;
+    - more `n_probes` → each query also looks in the buckets reached by
+      flipping its lowest-|margin| sign bits (`probe_buckets`) — the
+      recall lever that multiplies only the QUERY side of the join,
+      leaving the corpus index untouched (the right knob when the corpus
+      is the 100 TB side and re-hashing it per table is the cost).
+    Tables use derived seeds (seed, seed+1, …); the candidate union is
+    deduped on (q_id, vec_id) BEFORE the exact rerank so a pair colliding
+    in several tables/probes is scored once.
 
     The query-side broadcast is gated exactly like `cosine_topk`
     (`_should_broadcast_queries`); past the threshold the candidate join
@@ -169,6 +225,8 @@ def ann_lsh_topk(
     risk either way)."""
     if n_tables < 1:
         raise ValueError("n_tables must be >= 1")
+    if n_probes < 1:
+        raise ValueError("n_probes must be >= 1")
     if broadcast_queries is None:
         broadcast_queries = _should_broadcast_queries(queries)
     c = corpus.select(
@@ -177,7 +235,7 @@ def ann_lsh_topk(
     q = queries.select(
         "q_id", F.col("embedding").cast("array<double>").alias("qv")
     ).withColumn("nq", _norm("qv"))
-    if n_tables == 1:
+    if n_tables == 1 and n_probes == 1:
         sig_c = lsh_signatures(corpus, n_planes, seed).withColumnRenamed("id", "vec_id")
         sig_q = lsh_signatures(queries, n_planes, seed, id_col="q_id").withColumnRenamed(
             "id", "q_id"
@@ -190,15 +248,17 @@ def ann_lsh_topk(
             .select("q_id", "vec_id", F.round("cos", 9).alias("cos"))
         )
         return _topk_per_query(scored, k)
-    # multi-table: candidate (q_id, vec_id) pairs per table, union, dedup,
-    # then ONE exact rerank over the deduped set. The per-table join moves
-    # only (id, bucket) pairs — the embeddings join in once, post-dedup.
+    # multi-table / multi-probe: candidate (q_id, vec_id) pairs per table,
+    # union, dedup, then ONE exact rerank over the deduped set. The
+    # per-table join moves only (id, bucket) pairs — the embeddings join
+    # in once, post-dedup. The corpus side always carries ONE bucket per
+    # vector; only the query side fans out n_probes-fold.
     cands = None
     for t in range(n_tables):
         sig_c = lsh_signatures(corpus, n_planes, seed + t).withColumnRenamed("id", "vec_id")
-        sig_q = lsh_signatures(queries, n_planes, seed + t, id_col="q_id").withColumnRenamed(
-            "id", "q_id"
-        )
+        sig_q = probe_buckets(
+            queries, n_planes, seed + t, id_col="q_id", n_probes=n_probes
+        ).withColumnRenamed("id", "q_id")
         pairs = sig_c.join(
             F.broadcast(sig_q) if broadcast_queries else sig_q, "bucket"
         ).select("q_id", "vec_id")

@@ -217,6 +217,58 @@ def test_ann_multi_table_dedups_candidates(spark):
         assert sorted(ranks) == list(range(1, len(ranks) + 1)), (q, ranks)
 
 
+def test_ann_multi_probe_recall_lift(spark):
+    """Single table, probing: flipping the lowest-|margin| sign bits must
+    recover neighbors the base bucket misses — recall@k strictly rises
+    from n_probes=1 to n_probes=4, reaching ≥0.9 on this fixture WITHOUT
+    re-hashing the corpus (the query-side-only recall lever), and every
+    returned pair is exact-verified against the brute-force oracle."""
+    from parrsb_spark.operators.similarity import ann_lsh_topk, cosine_topk
+
+    corpus, queries = _ann_fixture(spark)
+    k = 5
+    exact_rows = cosine_topk(corpus, queries, k=k).collect()
+    exact = {}
+    true_cos = {}
+    for r in exact_rows:
+        exact.setdefault(r["q_id"], set()).add(r["vec_id"])
+        true_cos[(r["q_id"], r["vec_id"])] = r["cos"]
+
+    recalls = {}
+    for np_ in (1, 4):
+        # n_tables=2 keeps the pairs path for BOTH arms so the A/B
+        # isolates the probe knob (np_=1 base buckets only)
+        rows = ann_lsh_topk(
+            corpus, queries, k=k, n_planes=12, n_tables=2, n_probes=np_
+        ).collect()
+        approx = {}
+        for r in rows:
+            approx.setdefault(r["q_id"], set()).add(r["vec_id"])
+            if (r["q_id"], r["vec_id"]) in true_cos:
+                assert abs(r["cos"] - true_cos[(r["q_id"], r["vec_id"])]) < 1e-9
+        recalls[np_] = _recall_at_k(exact, approx, k)
+    assert recalls[1] < 1.0, "fixture must leave headroom for the lift"
+    assert recalls[4] > recalls[1], recalls
+    assert recalls[4] >= 0.9, recalls
+
+
+def test_probe_buckets_base_matches_signatures(spark):
+    """n_probes=1 probe_buckets IS lsh_signatures (same planes, same
+    packing): the multi-probe path degenerates exactly to the base path,
+    and n_probes=2 is a strict superset containing every base bucket."""
+    from parrsb_spark.operators.similarity import lsh_signatures, probe_buckets
+
+    corpus, _ = _ann_fixture(spark)
+    base = {(r["id"], r["bucket"]) for r in lsh_signatures(corpus, 12, 7).collect()}
+    p1 = {(r["id"], r["bucket"]) for r in probe_buckets(corpus, 12, 7, id_col="vec_id").collect()}
+    assert p1 == base
+    p2 = {
+        (r["id"], r["bucket"])
+        for r in probe_buckets(corpus, 12, 7, id_col="vec_id", n_probes=2).collect()
+    }
+    assert base < p2 and len(p2) == 2 * len(base)
+
+
 def test_labelprop_plan_has_no_window(spark):
     """The loop plan must contain NO window node: the argmax is a
     map-side-combinable aggregate (AQE can split a skewed aggregate;
