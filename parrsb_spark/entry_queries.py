@@ -851,6 +851,32 @@ def sql_emb_ann_lsh():
     )
 
 
+def q_emb_ivf_topk(spark, sf_dir):
+    """IVF ANN contract row (the coarse-quantizer sibling of emb_ann_lsh;
+    same CONTRACT style — centroid training is driver-side numpy k-means
+    on an md5-ordered sample, not SQL-expressible, so the oracle asserts
+    the deterministic contract): a query that IS a corpus vector probes
+    its own nearest-centroid list first (identical vector -> identical
+    argmax), so it must return itself at rank 1 with cos = 1.0 at ANY
+    n_probe. Exercises train -> one-list-per-vector corpus index ->
+    multi-list query probe -> disjoint-list candidate join -> exact
+    rerank -> two-phase top-k. Recall-lift behavior is measured in
+    tests/test_round5.py on a clustered fixture."""
+    from parrsb_spark.operators.similarity import ivf_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"), "embedding")
+    ann = ivf_topk(emb, q, k=5, n_lists=16, n_probe=2)
+    return ann.filter(F.col("rank") == 1).select("q_id", "vec_id", "cos", "rank")
+
+
+def sql_emb_ivf_topk():
+    return (
+        "SELECT vec_id AS q_id, vec_id, CAST(1.0 AS DOUBLE) AS cos, 1 AS rank "
+        "FROM embeddings WHERE vec_id < 5"
+    )
+
+
 def q_emb_neardup(spark, sf_dir):
     """Banded hyperplane-LSH bucket join → exact cosine verify — the
     scale path (no crossJoin in the plan). The brute-force all-pairs SQL
@@ -957,6 +983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_simhash": q_docs_simhash,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_ann_lsh": q_emb_ann_lsh,
+        "emb_ivf_topk": q_emb_ivf_topk,
         "emb_neardup": q_emb_neardup,
         "mm_image_meta": q_mm_image_meta,
     }
@@ -999,6 +1026,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_simhash": sql_docs_simhash(),
         "emb_cosine_topk": sql_emb_cosine_topk(),
         "emb_ann_lsh": sql_emb_ann_lsh(),
+        "emb_ivf_topk": sql_emb_ivf_topk(),
         "emb_neardup": sql_emb_neardup(),
         "mm_image_meta": sql_mm_image_meta(),
     }

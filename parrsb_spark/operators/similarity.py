@@ -1,6 +1,6 @@
 """Similarity search over an embedding column (array<float>).
 
-Two paths:
+Three paths:
 - `cosine_topk`   brute-force exact top-k (the correctness baseline):
   broadcast the (small) query set against the corpus, dot products as
   JVM-side zip_with/aggregate expressions — no Python in the loop.
@@ -8,6 +8,13 @@ Two paths:
   rerank inside the bucket only. The 100 TB path: candidate generation
   is an equi-join on the bucket key instead of a cross join. Hyperplanes
   are seeded md5-arithmetic so signatures are reproducible anywhere.
+  Recall knobs: `n_probes` (query-side bit flips, cheap) then
+  `n_tables` (corpus re-hash, thorough) — cost A/B in BASELINE.md.
+- `ivf_topk`      inverted-file ANN: driver-trained spherical k-means
+  coarse quantizer → one nearest-centroid list per corpus vector →
+  each query probes its `n_probe` nearest lists → exact rerank.
+  Geometric recall control with directly budgeted candidate volume
+  (≈ n_probe/n_lists of the corpus per query).
 """
 
 from __future__ import annotations
@@ -266,6 +273,146 @@ def ann_lsh_topk(
     cands = cands.distinct()
     scored = (
         cands.join(c, "vec_id")
+        .join(F.broadcast(q) if broadcast_queries else q, "q_id")
+        .withColumn("cos", _dot("v", "qv") / (F.col("nv") * F.col("nq")))
+        .select("q_id", "vec_id", F.round("cos", 9).alias("cos"))
+    )
+    return _topk_per_query(scored, k)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the second scale path, complementing LSH
+
+
+def ivf_train_centroids(
+    corpus: DataFrame,
+    n_lists: int = 64,
+    seed: int = 42,
+    sample_per_list: int = 64,
+    kmeans_iters: int = 8,
+) -> np.ndarray:
+    """(n_lists, dim) spherical k-means centroids, trained on a bounded
+    DETERMINISTIC sample of the corpus — the coarse quantizer is a
+    driver-side artifact (like the reference's per-level setup tables),
+    the corpus itself is never collected. Sampling keys on
+    md5-arithmetic of vec_id (`functions.hashing` convention: portable,
+    order-independent, re-runs identically on any partitioning), capped
+    at `sample_per_list × n_lists` rows. Lloyd iterations run on the
+    L2-normalized sample with argmax-cosine assignment; empty lists
+    re-seed from the farthest sample point, so every list is populated."""
+    cap = int(n_lists) * int(sample_per_list)
+    sample = (
+        corpus.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .orderBy(F.md5(F.concat(F.lit(f"ivf:{seed}:"), F.col("vec_id").cast("string"))))
+        .limit(cap)
+        .collect()
+    )
+    X = np.stack([np.asarray(r["v"], dtype=np.float64) for r in sample])
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    rng = np.random.default_rng(seed)
+    cents = X[rng.choice(len(X), size=min(n_lists, len(X)), replace=False)]
+    if len(cents) < n_lists:  # tiny corpus: pad by jittering existing picks
+        pad = cents[rng.integers(0, len(cents), size=n_lists - len(cents))]
+        cents = np.concatenate([cents, pad + 1e-6 * rng.normal(size=pad.shape)])
+    for _ in range(kmeans_iters):
+        sims = X @ cents.T  # (n, lists) cosine on normalized rows
+        assign = np.argmax(sims, axis=1)
+        for li in range(n_lists):
+            members = X[assign == li]
+            if len(members):
+                m = members.mean(axis=0)
+                cents[li] = m / max(np.linalg.norm(m), 1e-12)
+            else:  # re-seed an empty list from the worst-covered point
+                far = int(np.argmin(np.max(sims, axis=1)))
+                cents[li] = X[far]
+    return cents
+
+
+def ivf_assign(
+    vecs: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    n_probe: int = 1,
+) -> DataFrame:
+    """(id, list_id) — nearest `n_probe` centroid lists per vector by
+    cosine, vectorized (one matmul + one argpartition per Arrow batch).
+    n_probe=1 builds the corpus index (each vector in exactly ONE list);
+    n_probe>1 is the query side's recall knob — like LSH's multi-probe,
+    it fans out only the small side of the list join."""
+    spark = vecs.sparkSession
+    if n_probe < 1:
+        raise ValueError("n_probe must be >= 1")
+    if n_probe > len(centroids):
+        raise ValueError("n_probe cannot exceed n_lists")
+    C = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast(C)
+    npb = int(n_probe)
+
+    @F.pandas_udf("array<long>")
+    def lists_udf(emb: pd.Series) -> pd.Series:
+        M = np.stack(emb.to_numpy()).astype(np.float64)
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        sims = M @ bc.value.T  # (batch, lists)
+        if npb == 1:
+            # ties broken by lowest list id (argmax is first-max): the
+            # SAME vector always lands in the SAME list
+            return pd.Series([[int(i)] for i in np.argmax(sims, axis=1)])
+        top = np.argpartition(-sims, npb - 1, axis=1)[:, :npb]
+        # order probes best-first, ties by list id, for determinism
+        rows = []
+        for r in range(len(top)):
+            idx = top[r]
+            rows.append([int(i) for i in idx[np.lexsort((idx, -sims[r, idx]))]])
+        return pd.Series(rows)
+
+    return vecs.select(
+        F.col(id_col).alias("id"),
+        F.explode(lists_udf("embedding")).alias("list_id"),
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_lists: int = 64,
+    n_probe: int = 4,
+    seed: int = 42,
+    centroids: np.ndarray | None = None,
+    broadcast_queries: bool | None = None,
+) -> DataFrame:
+    """(q_id, vec_id, cos, rank) — IVF approximate top-k: train (or
+    reuse) a coarse quantizer, index each corpus vector into its ONE
+    nearest-centroid list, probe each query's `n_probe` nearest lists,
+    exact-rerank the union. The complementary scale path to
+    `ann_lsh_topk`: recall is controlled geometrically (probe more
+    lists) instead of probabilistically (more planes/tables/probes),
+    and candidate volume is directly budgeted at ≈ n_probe/n_lists of
+    the corpus per query. A query identical to a corpus vector probes
+    its own list first, so the rank-1 self-match contract holds at any
+    n_probe ≥ 1. Pass a pre-trained `centroids` to amortize training
+    across query batches (the 100 TB usage: train once, reuse)."""
+    if centroids is None:
+        centroids = ivf_train_centroids(corpus, n_lists=n_lists, seed=seed)
+    if broadcast_queries is None:
+        broadcast_queries = _should_broadcast_queries(queries)
+    c = corpus.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("nv", _norm("v"))
+    q = queries.select(
+        "q_id", F.col("embedding").cast("array<double>").alias("qv")
+    ).withColumn("nq", _norm("qv"))
+    idx_c = ivf_assign(corpus, centroids, id_col="vec_id").withColumnRenamed("id", "vec_id")
+    idx_q = ivf_assign(queries, centroids, id_col="q_id", n_probe=n_probe).withColumnRenamed(
+        "id", "q_id"
+    )
+    # lists are disjoint on the corpus side, so (q_id, vec_id) pairs are
+    # already unique — no dedup needed before the rerank
+    pairs = idx_c.join(
+        F.broadcast(idx_q) if broadcast_queries else idx_q, "list_id"
+    ).select("q_id", "vec_id")
+    scored = (
+        pairs.join(c, "vec_id")
         .join(F.broadcast(q) if broadcast_queries else q, "q_id")
         .withColumn("cos", _dot("v", "qv") / (F.col("nv") * F.col("nq")))
         .select("q_id", "vec_id", F.round("cos", 9).alias("cos"))

@@ -278,3 +278,65 @@ def test_labelprop_plan_has_no_window(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "windowspecdefinition" not in plan
     assert "Window" not in plan
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN: second scale path
+
+
+def test_ivf_topk_recall_lift_and_exact_scores(spark):
+    """Probing more lists must recover neighbors the nearest list misses:
+    recall@k rises n_probe 1→8 and reaches ≥0.9 at 8 of 16 lists on the
+    clustered fixture; every returned pair's cos matches the brute-force
+    oracle (IVF changes candidate coverage, never scoring)."""
+    from parrsb_spark.operators.similarity import cosine_topk, ivf_topk, ivf_train_centroids
+
+    corpus, queries = _ann_fixture(spark)
+    k = 5
+    exact_rows = cosine_topk(corpus, queries, k=k).collect()
+    exact, true_cos = {}, {}
+    for r in exact_rows:
+        exact.setdefault(r["q_id"], set()).add(r["vec_id"])
+        true_cos[(r["q_id"], r["vec_id"])] = r["cos"]
+
+    cents = ivf_train_centroids(corpus, n_lists=16, seed=3)
+    recalls = {}
+    for np_ in (1, 8):
+        rows = ivf_topk(corpus, queries, k=k, n_lists=16, n_probe=np_,
+                        seed=3, centroids=cents).collect()
+        approx = {}
+        for r in rows:
+            approx.setdefault(r["q_id"], set()).add(r["vec_id"])
+            if (r["q_id"], r["vec_id"]) in true_cos:
+                assert abs(r["cos"] - true_cos[(r["q_id"], r["vec_id"])]) < 1e-9
+        recalls[np_] = _recall_at_k(exact, approx, k)
+    assert recalls[8] >= recalls[1], recalls
+    assert recalls[8] >= 0.9, recalls
+
+
+def test_ivf_self_query_rank1_and_deterministic_assignment(spark):
+    """A query that IS a corpus vector probes its own list first (same
+    vector → same argmax centroid), so it must return itself at rank 1
+    with cos = 1.0 even at n_probe=1; and the corpus index is
+    deterministic across calls (same centroids → same list per vector)."""
+    from pyspark.sql import functions as F
+
+    from parrsb_spark.operators.similarity import ivf_assign, ivf_topk, ivf_train_centroids
+
+    corpus, _ = _ann_fixture(spark)
+    qs = corpus.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    cents = ivf_train_centroids(corpus, n_lists=8, seed=5)
+    top1 = {
+        r["q_id"]: (r["vec_id"], r["cos"])
+        for r in ivf_topk(corpus, qs, k=3, n_probe=1, centroids=cents)
+        .filter(F.col("rank") == 1).collect()
+    }
+    assert set(top1) == {0, 1, 2, 3}
+    for q, (v, cos) in top1.items():
+        assert v == q and abs(cos - 1.0) < 1e-9
+    a1 = sorted(map(tuple, ivf_assign(corpus, cents).collect()))
+    a2 = sorted(map(tuple, ivf_assign(corpus, cents).collect()))
+    assert a1 == a2
+    assert len(a1) == corpus.count()  # exactly one list per corpus vector
