@@ -300,13 +300,33 @@ def ivf_train_centroids(
     at `sample_per_list × n_lists` rows. Lloyd iterations run on the
     L2-normalized sample with argmax-cosine assignment; empty lists
     re-seed from the farthest sample point, so every list is populated."""
+    from parrsb_spark.functions.hashing import md5_long_col
+
     cap = int(n_lists) * int(sample_per_list)
-    sample = (
-        corpus.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-        .orderBy(F.md5(F.concat(F.lit(f"ivf:{seed}:"), F.col("vec_id").cast("string"))))
-        .limit(cap)
-        .collect()
+    key = md5_long_col(F.concat(F.lit(f"ivf:{seed}:"), F.col("vec_id").cast("string")))
+    hashed = corpus.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"), key.alias("_h")
     )
+    # a bare orderBy(limit cap).collect() ships each partition's LOCAL
+    # top-cap to the driver — ~cap × n_partitions rows, which breaks
+    # spark.driver.maxResultSize on a large corpus. Pre-filter to the
+    # hash range expected to hold 3×cap rows (60-bit uniform hash, so a
+    # 3× oversample practically never undershoots), THEN take the global
+    # smallest cap: the collect is bounded by ~3×cap rows regardless of
+    # corpus size, and the selected set is the same deterministic
+    # "cap smallest hashes" whatever the partitioning.
+    n_total = corpus.count()
+    if n_total > 3 * cap:
+        hashed = hashed.filter(F.col("_h") < int((3 * cap / n_total) * (1 << 60)))
+    sample = hashed.orderBy("_h").limit(cap).collect()
+    if len(sample) < min(cap, n_total):  # astronomically unlikely undershoot
+        sample = (
+            corpus.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+            .withColumn("_h", key)
+            .orderBy("_h")
+            .limit(cap)
+            .collect()
+        )
     X = np.stack([np.asarray(r["v"], dtype=np.float64) for r in sample])
     X = X / np.linalg.norm(X, axis=1, keepdims=True)
     rng = np.random.default_rng(seed)

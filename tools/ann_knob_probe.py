@@ -81,7 +81,12 @@ def main():
     ).cache()
     queries.count()
 
-    from parrsb_spark.operators.similarity import ann_lsh_topk, cosine_topk
+    from parrsb_spark.operators.similarity import (
+        ann_lsh_topk,
+        cosine_topk,
+        ivf_topk,
+        ivf_train_centroids,
+    )
 
     t0 = time.time()
     exact_rows = cosine_topk(corpus, queries, k=K).collect()
@@ -98,17 +103,28 @@ def main():
             sum(len(exact[q] & approx.get(q, set())) for q in exact) / (len(exact) * K), 4
         )
 
+    # IVF arm: train once (amortized cost, reported separately), probe 8
+    # of 1024 lists -> candidate budget ~0.8% of the corpus per query
+    t2 = time.time()
+    cents = ivf_train_centroids(corpus, n_lists=1024, seed=5)
+    ivf_train_wall = round(time.time() - t2, 2)
+
     arms = {
         "base": dict(n_tables=1, n_probes=1),
         "tables": dict(n_tables=t, n_probes=1),
         "probes": dict(n_tables=1, n_probes=t),
+        "ivf": None,
     }
     walls = {a: [] for a in arms}
     recalls = {}
     for _rep in range(reps):
         for name, kw in arms.items():
             t1 = time.time()
-            rows = ann_lsh_topk(corpus, queries, k=K, n_planes=N_PLANES, **kw).collect()
+            if name == "ivf":
+                rows = ivf_topk(corpus, queries, k=K, n_lists=1024, n_probe=8,
+                                centroids=cents).collect()
+            else:
+                rows = ann_lsh_topk(corpus, queries, k=K, n_planes=N_PLANES, **kw).collect()
             walls[name].append(round(time.time() - t1, 2))
             recalls[name] = recall(rows)
     spark.stop()
@@ -116,6 +132,7 @@ def main():
         "kernel": "ann_knob_cost_ab",
         "N": n, "dim": DIM, "T": t, "k": K, "n_planes": N_PLANES,
         "cpus": int(cpus), "brute_wall_s": brute_wall,
+        "ivf_params": {"n_lists": 1024, "n_probe": 8, "train_wall_s": ivf_train_wall},
         "recall": recalls,
         "walls_s": walls,
         "best_s": {a: min(w) for a, w in walls.items()},
