@@ -12,7 +12,10 @@ truth: recall@k and wall for
 
 Alternating reps in one JVM (house protocol). Prints one JSON line.
 
-Usage: python tools/ann_knob_probe.py [N] [T] [cpus] [reps]
+Usage: python tools/ann_knob_probe.py [N] [T] [cpus] [reps] [skip_brute]
+  skip_brute: any 5th arg skips the brute-force ground truth (recall
+  omitted) — the cheap mode for parallelism-pair wall measurements,
+  where recall is a constant of the deterministic paths anyway.
 """
 
 from __future__ import annotations
@@ -46,6 +49,7 @@ def main():
     t = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     cpus = sys.argv[3] if len(sys.argv) > 3 else "32"
     reps = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+    skip_brute = len(sys.argv) > 5
     spark = get_spark(master=f"local[{cpus}]", app_name="ann-knob-probe",
                       shuffle_partitions=int(cpus))
     spark.sparkContext.setLogLevel("ERROR")
@@ -88,12 +92,14 @@ def main():
         ivf_train_centroids,
     )
 
-    t0 = time.time()
-    exact_rows = cosine_topk(corpus, queries, k=K).collect()
-    brute_wall = round(time.time() - t0, 2)
+    brute_wall = None
     exact = {}
-    for r in exact_rows:
-        exact.setdefault(r["q_id"], set()).add(r["vec_id"])
+    if not skip_brute:
+        t0 = time.time()
+        exact_rows = cosine_topk(corpus, queries, k=K).collect()
+        brute_wall = round(time.time() - t0, 2)
+        for r in exact_rows:
+            exact.setdefault(r["q_id"], set()).add(r["vec_id"])
 
     def recall(rows):
         approx = {}
@@ -126,7 +132,8 @@ def main():
             else:
                 rows = ann_lsh_topk(corpus, queries, k=K, n_planes=N_PLANES, **kw).collect()
             walls[name].append(round(time.time() - t1, 2))
-            recalls[name] = recall(rows)
+            if exact:
+                recalls[name] = recall(rows)
     spark.stop()
     out = {
         "kernel": "ann_knob_cost_ab",
