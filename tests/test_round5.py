@@ -340,3 +340,105 @@ def test_ivf_self_query_rank1_and_deterministic_assignment(spark):
     a2 = sorted(map(tuple, ivf_assign(corpus, cents).collect()))
     assert a1 == a2
     assert len(a1) == corpus.count()  # exactly one list per corpus vector
+
+
+# ---------------------------------------------------------------------------
+# ANN structural properties (beyond the fixed recall fixtures)
+
+
+def test_probe_buckets_hamming_and_prefix(spark):
+    """Structural contract of multi-probe: every extra bucket differs
+    from the base bucket in EXACTLY one bit (single-plane flips only),
+    all of a vector's probes are distinct, and the probe set GROWS as a
+    chain (the flip order is the fixed |margin| ranking, so raising
+    n_probes only appends buckets — recall is monotone in the knob by
+    construction, not by luck)."""
+    from parrsb_spark.operators.similarity import lsh_signatures, probe_buckets
+
+    corpus, _ = _ann_fixture(spark)
+    base = {r["id"]: r["bucket"] for r in lsh_signatures(corpus, 10, 3).collect()}
+    prev = {vid: {b} for vid, b in base.items()}
+    for np_ in (2, 5, 11):  # 11 = n_planes + 1, the maximum
+        rows = probe_buckets(corpus, 10, 3, id_col="vec_id", n_probes=np_).collect()
+        got = {}
+        for r in rows:
+            got.setdefault(r["id"], []).append(r["bucket"])
+        assert set(got) == set(base)
+        for vid, buckets in got.items():
+            assert len(buckets) == np_ == len(set(buckets))
+            assert base[vid] in buckets
+            for b in buckets:
+                x = b ^ base[vid]
+                assert x == 0 or (x & (x - 1)) == 0, (vid, bin(x))
+            assert prev[vid] <= set(buckets)
+        prev = {vid: set(bs) for vid, bs in got.items()}
+
+
+def test_topk_two_phase_matches_global_window(spark):
+    """The identity the two-phase distributed top-k rests on: partition-
+    local prune (≤ k per (partition, q_id)) followed by the global rank
+    must equal the naive single-window global top-k — on a many-partition
+    random table with DUPLICATE cos values, so the vec_id tie-break is
+    genuinely exercised across partition boundaries."""
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    from parrsb_spark.operators.similarity import _topk_per_query
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (int(q), int(v), float(rng.integers(0, 40)) / 10.0)
+        for q in range(6)
+        for v in rng.choice(500, size=80, replace=False)
+    ]
+    scored = spark.createDataFrame(
+        rows, schema="q_id long, vec_id long, cos double"
+    ).repartition(13)
+    k = 7
+    got = {
+        (r["q_id"], r["rank"]): r["vec_id"]
+        for r in _topk_per_query(scored, k).collect()
+    }
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    want = {
+        (r["q_id"], r["rank"]): r["vec_id"]
+        for r in scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .collect()
+    }
+    assert got == want and len(want) == 6 * k
+
+
+def test_ivf_assign_range_and_distinct_probes(spark):
+    """Query-side IVF probing emits exactly n_probe DISTINCT in-range
+    list ids per vector (the candidate-volume budget ≈ n_probe/n_lists
+    holds only if probes never repeat a list)."""
+    from parrsb_spark.operators.similarity import ivf_assign, ivf_train_centroids
+
+    corpus, queries = _ann_fixture(spark)
+    cents = ivf_train_centroids(corpus, n_lists=8, seed=2)
+    rows = ivf_assign(queries, cents, id_col="q_id", n_probe=5).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["id"], []).append(r["list_id"])
+    assert len(got) == queries.count()
+    for q, ls in got.items():
+        assert len(ls) == 5 == len(set(ls)), (q, ls)
+        assert all(0 <= li < 8 for li in ls), (q, ls)
+
+
+def test_signatures_partition_invariant(spark):
+    """Signatures are a pure per-row function of (embedding, seed): any
+    repartitioning of the input must reproduce every signature bit — the
+    reproducibility contract that lets a 100 TB corpus index be built
+    incrementally on whatever partitioning the scan provides."""
+    from parrsb_spark.operators.similarity import lsh_signatures
+
+    corpus, _ = _ann_fixture(spark)
+    a = {r["id"]: r["bucket"] for r in lsh_signatures(corpus, 12, 9).collect()}
+    b = {
+        r["id"]: r["bucket"]
+        for r in lsh_signatures(corpus.repartition(17), 12, 9).collect()
+    }
+    assert a == b
