@@ -216,7 +216,12 @@ def embedding_neardup_pairs(embeddings: DataFrame, threshold: float = 0.95) -> D
     nrm = e.select(
         "vec_id",
         "v",
-        F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x)).alias("nrm"),
+        # floored like similarity._norm: a zero vector must score cos=0,
+        # not 0/0=NaN (NaN compares LARGER than any double in Spark, so
+        # it would pass the >= threshold filter)
+        F.greatest(
+            F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x)), F.lit(1e-150)
+        ).alias("nrm"),
     )
     a = nrm.select(F.col("vec_id").alias("a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
     b = nrm.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
@@ -293,7 +298,14 @@ def embedding_neardup_lsh(
     nrm = embeddings.select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("v"),
-    ).withColumn("nrm", F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x)))
+    ).withColumn(
+        "nrm",
+        # same zero-norm floor as the brute-force twin (cos=0, never NaN)
+        F.greatest(
+            F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x)),
+            F.lit(1e-150),
+        ),
+    )
     dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
     return (
         cand.join(nrm.select(F.col("vec_id").alias("a"), F.col("v").alias("va"), F.col("nrm").alias("na")), "a")

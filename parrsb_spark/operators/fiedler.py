@@ -665,6 +665,13 @@ def _inverse_driver(spark, e, base, sizes, opts, state0) -> DataFrame:
             rr1 = rr_rec
             if all(rr_rec[g] < rtol[g] or math.sqrt(rr_rec[g]) < tol for g in groups):
                 break
+            if it + 1 >= miter:
+                # the rest of the body only prepares the NEXT direction
+                # (zp, beta, p) — on the final fixed-step iteration that
+                # is a full V-cycle + a 6-term aggregate + an eager
+                # checkpoint whose outputs are never consumed (only
+                # st.x survives the loop)
+                break
             zp_new = mg_vcycle(h, st.select("grp", "r", F.col("rv").alias("x")))
             st = (
                 st.withColumnRenamed("zp", "zp0")

@@ -335,17 +335,17 @@ def _tie_break_boundary(
         _drop_group_scalars,
     )
 
-    tied_groups = sorted(tie_map)
     a0, sct = _attach_group_scalars(
         assigned, {"f_tie": tie_map}, threshold=threshold, how="left"
     )
     f_tie_col = sct["f_tie"]
-    is_tied = (
-        F.col("grp").isin(tied_groups)
-        & (
-            F.abs(F.col("fiedler") - f_tie_col)
-            <= F.lit(1e-9) * F.greatest(F.abs(f_tie_col), F.abs("fiedler"))
-        )
+    # untied groups carry a NULL f_tie (missing map key / unmatched left
+    # join) — isNotNull() collapses them to false at O(1) plan width; an
+    # isin(tied_groups) guard would rebuild the very O(#groups) literal
+    # list the scalar attach's broadcast fallback exists to avoid
+    is_tied = f_tie_col.isNotNull() & (
+        F.abs(F.col("fiedler") - f_tie_col)
+        <= F.lit(1e-9) * F.greatest(F.abs(f_tie_col), F.abs("fiedler"))
     )
     a = _drop_group_scalars(a0.withColumn("tied", is_tied)).localCheckpoint(eager=True)
     fixed = a.filter(~F.col("tied")).select(

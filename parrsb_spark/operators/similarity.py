@@ -50,7 +50,16 @@ def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
 
 
 def _norm(col: str):
-    return F.sqrt(F.aggregate(col, F.lit(0.0), lambda a, x: a + x * x))
+    """ℓ2 norm FLOORED at 1e-150: a zero-norm embedding then scores
+    cos = 0/1e-300 = 0 (no similarity) instead of 0/0 = NaN — and Spark
+    treats NaN as LARGER than any double in both ordering and
+    comparisons, so one zero vector in a 100 TB corpus would otherwise
+    outrank every genuine match in every query's top-k. The floor is
+    exact for any non-zero vector (the smallest representable non-zero
+    norm is far above 1e-150) and its square, 1e-300, stays normal."""
+    return F.greatest(
+        F.sqrt(F.aggregate(col, F.lit(0.0), lambda a, x: a + x * x)), F.lit(1e-150)
+    )
 
 
 def _should_broadcast_queries(queries: DataFrame) -> bool:
@@ -145,9 +154,18 @@ def signbit_signatures(
     return vecs.select(F.col(id_col).alias("id"), sig_udf("embedding").alias("sig"))
 
 
-def lsh_signatures(vecs: DataFrame, n_planes: int = 12, seed: int = 42, id_col: str = "vec_id") -> DataFrame:
-    """(id, bucket) — single-table bucket id = the packed sign pattern."""
-    return signbit_signatures(vecs, n_planes, seed, id_col).withColumnRenamed("sig", "bucket")
+def lsh_signatures(
+    vecs: DataFrame,
+    n_planes: int = 12,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    dim: int | None = None,
+) -> DataFrame:
+    """(id, bucket) — single-table bucket id = the packed sign pattern.
+    Pass `dim` when known to skip the one-row probe job."""
+    return signbit_signatures(vecs, n_planes, seed, id_col, dim=dim).withColumnRenamed(
+        "sig", "bucket"
+    )
 
 
 def probe_buckets(
@@ -242,11 +260,18 @@ def ann_lsh_topk(
     q = queries.select(
         "q_id", F.col("embedding").cast("array<double>").alias("qv")
     ).withColumn("nq", _norm("qv"))
+    # dim probed ONCE (queries are the small side; corpus dim matches by
+    # contract) and threaded through every signature call — without it
+    # each of the n_tables corpus/query hashings would re-run its own
+    # one-row .first() probe job
+    dim = len(queries.select("embedding").first()["embedding"])
     if n_tables == 1 and n_probes == 1:
-        sig_c = lsh_signatures(corpus, n_planes, seed).withColumnRenamed("id", "vec_id")
-        sig_q = lsh_signatures(queries, n_planes, seed, id_col="q_id").withColumnRenamed(
-            "id", "q_id"
+        sig_c = lsh_signatures(corpus, n_planes, seed, dim=dim).withColumnRenamed(
+            "id", "vec_id"
         )
+        sig_q = lsh_signatures(
+            queries, n_planes, seed, id_col="q_id", dim=dim
+        ).withColumnRenamed("id", "q_id")
         cb = c.join(sig_c, "vec_id")
         qb = q.join(sig_q, "q_id")
         scored = (
@@ -262,9 +287,11 @@ def ann_lsh_topk(
     # vector; only the query side fans out n_probes-fold.
     cands = None
     for t in range(n_tables):
-        sig_c = lsh_signatures(corpus, n_planes, seed + t).withColumnRenamed("id", "vec_id")
+        sig_c = lsh_signatures(corpus, n_planes, seed + t, dim=dim).withColumnRenamed(
+            "id", "vec_id"
+        )
         sig_q = probe_buckets(
-            queries, n_planes, seed + t, id_col="q_id", n_probes=n_probes
+            queries, n_planes, seed + t, id_col="q_id", n_probes=n_probes, dim=dim
         ).withColumnRenamed("id", "q_id")
         pairs = sig_c.join(
             F.broadcast(sig_q) if broadcast_queries else sig_q, "bucket"
@@ -328,7 +355,9 @@ def ivf_train_centroids(
             .collect()
         )
     X = np.stack([np.asarray(r["v"], dtype=np.float64) for r in sample])
-    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    # zero-norm guard (same as ivf_assign's): one all-zero embedding in
+    # the sample must not NaN-poison every centroid through the matmul
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
     cents = X[rng.choice(len(X), size=min(n_lists, len(X)), replace=False)]
     if len(cents) < n_lists:  # tiny corpus: pad by jittering existing picks
@@ -337,14 +366,21 @@ def ivf_train_centroids(
     for _ in range(kmeans_iters):
         sims = X @ cents.T  # (n, lists) cosine on normalized rows
         assign = np.argmax(sims, axis=1)
+        # re-seed order for empty lists: worst-covered sample points,
+        # one DISTINCT point per empty list — a single shared pick would
+        # leave exact-duplicate centroids, and first-max assignment can
+        # never separate duplicates again (the lowest-id twin absorbs
+        # every member; the others stay empty forever)
+        far_order = np.argsort(np.max(sims, axis=1))
+        nf = 0
         for li in range(n_lists):
             members = X[assign == li]
             if len(members):
                 m = members.mean(axis=0)
                 cents[li] = m / max(np.linalg.norm(m), 1e-12)
-            else:  # re-seed an empty list from the worst-covered point
-                far = int(np.argmin(np.max(sims, axis=1)))
-                cents[li] = X[far]
+            else:
+                cents[li] = X[far_order[nf % len(X)]]
+                nf += 1
     return cents
 
 
@@ -377,12 +413,18 @@ def ivf_assign(
             # ties broken by lowest list id (argmax is first-max): the
             # SAME vector always lands in the SAME list
             return pd.Series([[int(i)] for i in np.argmax(sims, axis=1)])
-        top = np.argpartition(-sims, npb - 1, axis=1)[:, :npb]
-        # order probes best-first, ties by list id, for determinism
+        # full stable sort (sim desc, list id asc) — NOT argpartition:
+        # argpartition's boundary-tie selection is arbitrary, so under
+        # exact centroid ties it can EXCLUDE the first-occurrence max —
+        # the very list np.argmax indexed the corpus side into — and
+        # silently break the rank-1 self-match contract. lexsort keeps
+        # sel[0] == argmax unconditionally, at O(L log L) per row over
+        # the small centroid count.
+        ids = np.arange(sims.shape[1])
         rows = []
-        for r in range(len(top)):
-            idx = top[r]
-            rows.append([int(i) for i in idx[np.lexsort((idx, -sims[r, idx]))]])
+        for r in range(len(sims)):
+            sel = np.lexsort((ids, -sims[r]))[:npb]
+            rows.append([int(i) for i in sel])
         return pd.Series(rows)
 
     return vecs.select(

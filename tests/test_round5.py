@@ -101,10 +101,12 @@ def test_cg_two_collects_per_iteration(spark, monkeypatch):
     """The PCG loop pays exactly TWO _group_scalars reductions per
     iteration — the two CG fundamentally needs (alpha's p·Lp, beta's
     r·z) — with ‖r‖², the ortho mean, and the Polak–Ribière terms fused
-    into them. Fixed-step protocol (tol=0 → no early break) makes the
-    count deterministic:
+    into them. The FINAL fixed-step iteration pays only the alpha
+    aggregate: the beta aggregate (like its V-cycle) only prepares a
+    next direction that no longer exists. Fixed-step protocol (tol=0 →
+    no early break) makes the count deterministic:
       1 (fused setup rr/mu/rz)
-    + 2·miter (alpha agg + beta agg per iteration)
+    + 2·miter − 1 (alpha agg per iteration + beta agg per non-final one)
     + 2 (outer update: ortho mean + norm)
     + 1 (final output norm)
     """
@@ -132,7 +134,7 @@ def test_cg_two_collects_per_iteration(spark, monkeypatch):
         rsb_algo="inverse", mg_tail_threshold=4,
     )
     fiedler(df, opts=opts).count()
-    assert len(calls) == 1 + 2 * miter + 2 + 1, calls
+    assert len(calls) == 1 + (2 * miter - 1) + 2 + 1, calls
 
 
 # ---------------------------------------------------------------------------
@@ -442,3 +444,69 @@ def test_signatures_partition_invariant(spark):
         for r in lsh_signatures(corpus.repartition(17), 12, 9).collect()
     }
     assert a == b
+
+
+def test_ivf_degenerate_corpus_reseeds_and_self_match(spark):
+    """n_lists far above the corpus' natural cluster count forces the
+    empty-list reseed path every Lloyd iteration; the reseeds must be
+    DISTINCT sample points (a single shared pick would leave exact
+    duplicate centroids that first-max assignment can never separate),
+    an all-zero embedding must not NaN-poison training, and the rank-1
+    self-match contract must survive near/exact centroid ties at
+    n_probe > 1 (the lexsort selection keeps the corpus-side argmax
+    list in every probe set)."""
+    import numpy as np
+
+    from parrsb_spark.operators.similarity import ivf_topk, ivf_train_centroids
+
+    rng = np.random.default_rng(4)
+    centers = rng.normal(size=(3, 8))
+    base = np.concatenate([c + 0.05 * rng.normal(size=(10, 8)) for c in centers])
+    rows = [(i, [float(x) for x in base[i]]) for i in range(len(base))]
+    rows.append((len(base), [0.0] * 8))  # zero vector in the corpus
+    corpus = spark.createDataFrame(rows, schema="vec_id long, embedding array<double>")
+    cents = ivf_train_centroids(corpus, n_lists=12, seed=9, sample_per_list=8)
+    assert cents.shape == (12, 8) and np.isfinite(cents).all()
+    qs = corpus.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    top1 = {
+        r["q_id"]: (r["vec_id"], r["cos"])
+        for r in ivf_topk(corpus, qs, k=3, n_probe=4, centroids=cents)
+        .filter(F.col("rank") == 1)
+        .collect()
+    }
+    assert set(top1) == {0, 1, 2, 3, 4, 5}
+    for q, (v, cos) in top1.items():
+        assert v == q and abs(cos - 1.0) < 1e-9, (q, v, cos)
+
+
+def test_zero_vector_never_outranks(spark):
+    """Spark orders NaN LARGER than any double, so an unguarded 0/0
+    cosine would put a zero-norm corpus vector at rank 1 of EVERY query.
+    With the norm floor it scores cos = 0 and ranks below all genuine
+    matches — in the exact path and in the near-dup threshold filter."""
+    import math
+
+    from parrsb_spark.operators.dedup import embedding_neardup_pairs
+    from parrsb_spark.operators.similarity import cosine_topk
+
+    corpus, queries = _ann_fixture(spark)
+    zero = spark.createDataFrame(
+        [(9999, [0.0] * 16)], schema="vec_id long, embedding array<double>"
+    )
+    rows = cosine_topk(corpus.unionByName(zero), queries, k=5).collect()
+    assert rows, "top-k must be non-empty"
+    for r in rows:
+        assert not math.isnan(r["cos"])
+        assert r["vec_id"] != 9999, "zero vector must not reach any top-5"
+    dup = embedding_neardup_pairs(
+        zero.unionByName(
+            spark.createDataFrame(
+                [(1, [1.0] * 16), (2, [1.0] * 16)],
+                schema="vec_id long, embedding array<double>",
+            )
+        ),
+        threshold=0.9,
+    ).collect()
+    assert {(r["a"], r["b"]) for r in dup} == {(1, 2)}
