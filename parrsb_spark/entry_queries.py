@@ -32,6 +32,11 @@ DAMPING = 0.85
 PR_ITERS = 8
 CC_ITERS = 16
 LP_ITERS = 3
+HITS_ITERS = 6
+PPR_ITERS = 8
+PPR_N_SEEDS = 5
+KCORE_K = 80
+KCORE_ROUNDS = 16
 
 # ---------------------------------------------------------------------------
 # shared derivations
@@ -150,6 +155,113 @@ def sql_graph_pagerank(iters: int = PR_ITERS) -> str:
         )
     return (
         "WITH " + ", ".join(parts) + f" SELECT vid, round(pr, 10) AS pr_r FROM pr{iters}"
+    )
+
+
+def q_graph_hits(spark, sf_dir):
+    from parrsb_spark.operators.hits import hits
+
+    e = bipartite_edges(spark, sf_dir)
+    h = hits(e, n_iter=HITS_ITERS)
+    return h.select(
+        "vid", F.round("hub", 10).alias("hub_r"), F.round("auth", 10).alias("auth_r")
+    )
+
+
+def sql_graph_hits(iters: int = HITS_ITERS) -> str:
+    parts = [
+        EG_CTE,
+        VERTS_CTE,
+        "h0 AS (SELECT vid, 1.0 AS h FROM verts)",
+    ]
+    for k in range(1, iters + 1):
+        p = f"h{k - 1}"
+        parts += [
+            # authority half-step: gather hub along edges onto dst, L2-normalize
+            f"ar{k} AS MATERIALIZED (SELECT e.dst AS vid, sum(h.h) AS s "
+            f"FROM eg e JOIN {p} h ON e.src = h.vid GROUP BY e.dst)",
+            f"an{k} AS (SELECT sqrt(sum(s * s)) AS nrm FROM ar{k})",
+            f"a{k} AS MATERIALIZED (SELECT v.vid, CASE WHEN (SELECT nrm FROM an{k}) > 0 "
+            f"THEN coalesce(r.s, 0) / (SELECT nrm FROM an{k}) ELSE 0.0 END AS a "
+            f"FROM verts v LEFT JOIN ar{k} r ON v.vid = r.vid)",
+            # hub half-step: gather the FRESH auth back onto src, L2-normalize
+            f"hr{k} AS MATERIALIZED (SELECT e.src AS vid, sum(a.a) AS s "
+            f"FROM eg e JOIN a{k} a ON e.dst = a.vid GROUP BY e.src)",
+            f"hn{k} AS (SELECT sqrt(sum(s * s)) AS nrm FROM hr{k})",
+            f"h{k} AS MATERIALIZED (SELECT v.vid, CASE WHEN (SELECT nrm FROM hn{k}) > 0 "
+            f"THEN coalesce(r.s, 0) / (SELECT nrm FROM hn{k}) ELSE 0.0 END AS h "
+            f"FROM verts v LEFT JOIN hr{k} r ON v.vid = r.vid)",
+        ]
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f" SELECT h.vid, round(h.h, 10) AS hub_r, round(a.a, 10) AS auth_r "
+        f"FROM h{iters} h JOIN a{iters} a ON h.vid = a.vid"
+    )
+
+
+def q_graph_ppr(spark, sf_dir):
+    from parrsb_spark.operators.pagerank import personalized_pagerank
+    from parrsb_spark.sources.edges import vertices_from_edges
+
+    e = bipartite_edges(spark, sf_dir)
+    seeds = vertices_from_edges(e).orderBy("vid").limit(PPR_N_SEEDS)
+    pr = personalized_pagerank(e, seeds, damping=DAMPING, fixed_iters=PPR_ITERS)
+    return pr.select("vid", F.round("pr", 10).alias("pr_r"))
+
+
+def sql_graph_ppr(iters: int = PPR_ITERS) -> str:
+    d = DAMPING
+    parts = [
+        EG_CTE,
+        VERTS_CTE,
+        f"seeds AS MATERIALIZED (SELECT vid FROM verts ORDER BY vid LIMIT {PPR_N_SEEDS})",
+        "ns AS (SELECT CAST(count(*) AS DOUBLE) AS cnt FROM seeds)",
+        "tele AS MATERIALIZED (SELECT v.vid, CASE WHEN s.vid IS NOT NULL "
+        "THEN 1.0 / (SELECT cnt FROM ns) ELSE 0.0 END AS t "
+        "FROM verts v LEFT JOIN seeds s ON v.vid = s.vid)",
+        "pod AS (SELECT src AS vid, CAST(count(*) AS DOUBLE) AS od FROM eg GROUP BY src)",
+        "pp0 AS (SELECT vid, t AS pr FROM tele)",
+    ]
+    for k in range(1, iters + 1):
+        p = f"pp{k - 1}"
+        parts.append(
+            f"pp{k} AS MATERIALIZED (SELECT t.vid, "
+            f"( {1 - d} + {d} * (SELECT coalesce(sum(p.pr), 0) FROM {p} p "
+            f"LEFT JOIN pod o ON p.vid = o.vid WHERE o.vid IS NULL) ) * t.t "
+            f"+ {d} * coalesce(g.gath, 0) AS pr "
+            f"FROM tele t LEFT JOIN ("
+            f"SELECT e.dst AS vid, sum(p.pr / o.od) AS gath "
+            f"FROM eg e JOIN {p} p ON e.src = p.vid JOIN pod o ON e.src = o.vid "
+            f"GROUP BY e.dst) g ON t.vid = g.vid)"
+        )
+    return (
+        "WITH " + ", ".join(parts) + f" SELECT vid, round(pr, 10) AS pr_r FROM pp{iters}"
+    )
+
+
+def q_graph_kcore(spark, sf_dir):
+    from parrsb_spark.operators.kcore import kcore
+
+    return kcore(
+        copurchase_edges(spark, sf_dir), k=KCORE_K, max_rounds=KCORE_ROUNDS
+    ).select("vid", "core_deg")
+
+
+def sql_graph_kcore(k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> str:
+    # synchronous peel unrolled to the operator's max_rounds: converged
+    # rounds are no-ops (the survivor set only shrinks), so the fixed
+    # point the Spark side early-exits at equals round `rounds` exactly
+    parts = [CP_CTE, CP_VERTS_CTE, CP_SYM_CTE, "kc0 AS (SELECT vid FROM cpverts)"]
+    for r in range(1, rounds + 1):
+        p = f"kc{r - 1}"
+        parts.append(
+            f"kc{r} AS MATERIALIZED (SELECT s.src AS vid, count(*) AS cd "
+            f"FROM cpsym s JOIN {p} a ON s.src = a.vid JOIN {p} b ON s.dst = b.vid "
+            f"GROUP BY s.src HAVING count(*) >= {k})"
+        )
+    return (
+        "WITH " + ", ".join(parts) + f" SELECT vid, cd AS core_deg FROM kc{rounds}"
     )
 
 
@@ -955,6 +1067,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_edges": q_graph_edges,
         "graph_degree": q_graph_degree,
         "graph_pagerank": q_graph_pagerank,
+        "graph_hits": q_graph_hits,
+        "graph_ppr": q_graph_ppr,
+        "graph_kcore": q_graph_kcore,
         "graph_cc": q_graph_cc,
         "graph_cc_dense": q_graph_cc_dense,
         "graph_labelprop": q_graph_labelprop,
@@ -995,6 +1110,9 @@ def oracle_sql() -> dict[str, str]:
         "graph_edges": sql_graph_edges(),
         "graph_degree": sql_graph_degree(),
         "graph_pagerank": sql_graph_pagerank(),
+        "graph_hits": sql_graph_hits(),
+        "graph_ppr": sql_graph_ppr(),
+        "graph_kcore": sql_graph_kcore(),
         "graph_cc": sql_graph_cc(),
         "graph_cc_dense": sql_graph_cc_dense(),
         "graph_labelprop": sql_graph_labelprop(),

@@ -156,3 +156,101 @@ def pagerank(
                 if delta is not None and delta < tol:
                     break
     return ranks.select("vid", "pr")
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    damping: float = 0.85,
+    fixed_iters: int = 8,
+    vertices: DataFrame | None = None,
+    chain: int = 2,
+) -> DataFrame:
+    """Random walk with restart: the teleport vector is uniform over the
+    seed set S instead of over all vertices —
+
+        pr_0(v)   = tele(v)
+        pr_t+1(v) = ((1-d) + d·dangling_t)·tele(v) + d·Σ_{u→v} pr_t(u)/od(u)
+
+    with tele(v) = 1/|S| for v ∈ S else 0 (dangling mass restarts at the
+    seeds, keeping Σpr = 1 exactly like the global kernel). Same scale
+    shape as `pagerank`: loop-invariant cached edges, broadcast one-row
+    dangling aggregate, `chain`-burst localCheckpoints. `seeds` is a
+    (vid) DataFrame; it is broadcast onto the state ONCE at setup (seed
+    sets are tiny relative to V — that is the point of personalization).
+
+    Returns (vid, pr) after exactly `fixed_iters` iterations (oracle-
+    parity mode; the entry row unrolls the same count in SQL).
+    """
+    spark = edges.sparkSession
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    d = damping
+
+    e = edges.select("src", "dst").repartition(n_shuffle, "src").cache()
+    verts = (vertices or vertices_from_edges(e)).select("vid")
+    outdeg = e.groupBy(F.col("src").alias("vid")).agg(F.count("*").alias("outdeg"))
+    n_seeds = seeds.select("vid").distinct().count()
+    if n_seeds == 0:
+        return verts.select("vid", F.lit(0.0).alias("pr"))
+    state = (
+        verts.join(outdeg, "vid", "left")
+        .join(
+            F.broadcast(seeds.select("vid").distinct().withColumn("_s", F.lit(1))),
+            "vid",
+            "left",
+        )
+        .select(
+            "vid",
+            F.coalesce("outdeg", F.lit(0)).alias("outdeg"),
+            F.when(F.col("_s").isNotNull(), F.lit(1.0 / n_seeds))
+            .otherwise(F.lit(0.0))
+            .alias("tele"),
+        )
+        .repartition(n_shuffle, "vid")
+        .cache()
+    )
+    ranks = state.withColumn("pr", F.col("tele"))
+
+    def one_iter(r: DataFrame) -> DataFrame:
+        dang = F.broadcast(
+            r.agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("outdeg") == 0, F.col("pr"))), F.lit(0.0)
+                ).alias("_dang")
+            )
+        )
+        contribs = (
+            e.join(
+                r.filter(F.col("outdeg") > 0).select(
+                    F.col("vid").alias("src"), (F.col("pr") / F.col("outdeg")).alias("c")
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("vid"))
+            .agg(F.sum("c").alias("g"))
+        )
+        # association order mirrors the SQL oracle:
+        # ((1-d) + d*dang)*tele + d*gather
+        return (
+            r.join(contribs, "vid", "left")
+            .crossJoin(dang)
+            .select(
+                "vid",
+                "outdeg",
+                "tele",
+                (
+                    (F.lit(1.0 - d) + F.lit(d) * F.col("_dang")) * F.col("tele")
+                    + F.lit(d) * F.coalesce("g", F.lit(0.0))
+                ).alias("pr"),
+            )
+        )
+
+    done = 0
+    with iterative_conf(spark, disable_aqe=True):
+        while done < fixed_iters:
+            burst = min(chain, fixed_iters - done)
+            for _ in range(burst):
+                ranks = one_iter(ranks)
+            ranks = ranks.localCheckpoint(eager=True)
+            done += burst
+    return ranks.select("vid", "pr")

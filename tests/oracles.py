@@ -139,3 +139,57 @@ def fiedler_np(edges):
                 f = -f
             break
     return dict(zip(verts, f)), float(vals[1])
+
+
+def hits_np(edges, n_iter=6):
+    """(vid → (hub, auth)) after n_iter normalized iterations, h₀ = 1.
+    Multigraph semantics: parallel edges contribute once per copy."""
+    verts = _vertices(edges)
+    h = {v: 1.0 for v in verts}
+    a = {v: 0.0 for v in verts}
+    for _ in range(n_iter):
+        a = {v: 0.0 for v in verts}
+        for u, v in edges:
+            a[v] += h[u]
+        nrm = np.sqrt(sum(x * x for x in a.values()))
+        a = {v: (x / nrm if nrm > 0 else 0.0) for v, x in a.items()}
+        h = {v: 0.0 for v in verts}
+        for u, v in edges:
+            h[u] += a[v]
+        nrm = np.sqrt(sum(x * x for x in h.values()))
+        h = {v: (x / nrm if nrm > 0 else 0.0) for v, x in h.items()}
+    return {v: (h[v], a[v]) for v in verts}
+
+
+def kcore_np(edges, k):
+    """(vid → degree inside the k-core) for k-core members only, on the
+    symmetrized simple graph (self-loops dropped)."""
+    adj = _sym_adj(edges)
+    alive = set(_vertices(edges))
+    while True:
+        deg = {v: len(adj[v] & alive) for v in alive}
+        nxt = {v for v in alive if deg[v] >= k}
+        if nxt == alive:
+            return {v: deg[v] for v in alive} if alive else {}
+        alive = nxt
+
+
+def ppr_np(edges, seeds, damping=0.85, iters=8):
+    """Personalized PageRank (random walk with restart to uniform-on-S)."""
+    verts = _vertices(edges)
+    seeds = set(seeds)
+    ns = len(seeds)
+    out = Counter(u for u, _ in edges)
+    tele = {v: (1.0 / ns if v in seeds else 0.0) for v in verts}
+    pr = dict(tele)
+    in_nbrs = defaultdict(list)
+    for u, v in edges:
+        in_nbrs[v].append(u)
+    for _ in range(iters):
+        dangling = sum(p for v, p in pr.items() if out[v] == 0)
+        new = {}
+        for v in verts:
+            s = sum(pr[u] / out[u] for u in in_nbrs[v])
+            new[v] = ((1 - damping) + damping * dangling) * tele[v] + damping * s
+        pr = new
+    return pr
