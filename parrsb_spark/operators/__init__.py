@@ -1,4 +1,6 @@
-from parrsb_spark.operators.pagerank import pagerank
+from parrsb_spark.operators.pagerank import pagerank, personalized_pagerank
+from parrsb_spark.operators.hits import hits
+from parrsb_spark.operators.kcore import kcore
 from parrsb_spark.operators.components import connected_components, cc_bfs_single_seed
 from parrsb_spark.operators.triangles import triangle_counts, triangle_total
 from parrsb_spark.operators.labelprop import label_propagation
@@ -14,6 +16,9 @@ from parrsb_spark.operators.periodic import match_periodic_faces
 
 __all__ = [
     "pagerank",
+    "personalized_pagerank",
+    "hits",
+    "kcore",
     "connected_components",
     "cc_bfs_single_seed",
     "triangle_counts",

@@ -112,6 +112,20 @@ elif kernel == "triangles":
     m = cp.count()
     triangle_total(cp)
     work = m
+elif kernel == "hits":
+    from parrsb_spark.operators.hits import hits
+
+    ITERS = 4
+    hits(edges, n_iter=ITERS).agg({"auth": "sum"}).collect()
+    work = m * ITERS * 2  # two gather-scatters per iteration
+elif kernel == "kcore":
+    from parrsb_spark.operators.kcore import kcore
+
+    # on the 16M-edge power-law graph k=24 cascades the FULL 14-round
+    # peel to an empty core (numpy-probed) — the max-work variant, and
+    # identical work at both parallelism widths
+    kcore(edges, k=24).count()
+    work = m
 elif kernel == "extract":
     # compute-bound Arrow-UDF pipeline: synth pages -> extract links ->
     # edges + dense ids (no iterative shuffles; scales with cores)
