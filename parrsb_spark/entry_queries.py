@@ -37,6 +37,8 @@ PPR_ITERS = 8
 PPR_N_SEEDS = 5
 KCORE_K = 80
 KCORE_ROUNDS = 16
+BFS_N_SEEDS = 3
+BFS_HOPS = 12
 
 # ---------------------------------------------------------------------------
 # shared derivations
@@ -263,6 +265,37 @@ def sql_graph_kcore(k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> str:
     return (
         "WITH " + ", ".join(parts) + f" SELECT vid, cd AS core_deg FROM kc{rounds}"
     )
+
+
+def q_graph_bfs(spark, sf_dir):
+    from parrsb_spark.operators.bfs import bfs_distances
+    from parrsb_spark.sources.edges import vertices_from_edges
+
+    e = bipartite_edges(spark, sf_dir)
+    seeds = vertices_from_edges(e).orderBy("vid").limit(BFS_N_SEEDS)
+    return bfs_distances(e, seeds, max_hops=BFS_HOPS).select("vid", "dist")
+
+
+def sql_graph_bfs(hops: int = BFS_HOPS) -> str:
+    # frontier BFS unrolled: settled distances never change, so the
+    # Spark side's empty-frontier early exit equals exactly `hops` rounds
+    parts = [
+        EG_CTE,
+        VERTS_CTE,
+        SYM_CTE,
+        f"bseeds AS MATERIALIZED (SELECT vid FROM verts ORDER BY vid LIMIT {BFS_N_SEEDS})",
+        "b0 AS (SELECT vid, CAST(0 AS BIGINT) AS dist FROM bseeds)",
+    ]
+    for h in range(1, hops + 1):
+        p = f"b{h - 1}"
+        parts.append(
+            f"b{h} AS MATERIALIZED (SELECT vid, dist FROM {p} UNION ALL "
+            f"SELECT r.vid, CAST({h} AS BIGINT) AS dist FROM "
+            f"(SELECT DISTINCT s.dst AS vid FROM sym s JOIN {p} f "
+            f"ON s.src = f.vid AND f.dist = {h - 1}) r "
+            f"LEFT JOIN {p} q ON r.vid = q.vid WHERE q.vid IS NULL)"
+        )
+    return "WITH " + ", ".join(parts) + f" SELECT vid, dist FROM b{hops}"
 
 
 def q_graph_cc(spark, sf_dir):
@@ -1070,6 +1103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_hits": q_graph_hits,
         "graph_ppr": q_graph_ppr,
         "graph_kcore": q_graph_kcore,
+        "graph_bfs": q_graph_bfs,
         "graph_cc": q_graph_cc,
         "graph_cc_dense": q_graph_cc_dense,
         "graph_labelprop": q_graph_labelprop,
@@ -1113,6 +1147,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_hits": sql_graph_hits(),
         "graph_ppr": sql_graph_ppr(),
         "graph_kcore": sql_graph_kcore(),
+        "graph_bfs": sql_graph_bfs(),
         "graph_cc": sql_graph_cc(),
         "graph_cc_dense": sql_graph_cc_dense(),
         "graph_labelprop": sql_graph_labelprop(),

@@ -1,6 +1,7 @@
 from parrsb_spark.operators.pagerank import pagerank, personalized_pagerank
 from parrsb_spark.operators.hits import hits
 from parrsb_spark.operators.kcore import kcore
+from parrsb_spark.operators.bfs import bfs_distances
 from parrsb_spark.operators.components import connected_components, cc_bfs_single_seed
 from parrsb_spark.operators.triangles import triangle_counts, triangle_total
 from parrsb_spark.operators.labelprop import label_propagation
@@ -19,6 +20,7 @@ __all__ = [
     "personalized_pagerank",
     "hits",
     "kcore",
+    "bfs_distances",
     "connected_components",
     "cc_bfs_single_seed",
     "triangle_counts",

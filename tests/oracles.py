@@ -193,3 +193,23 @@ def ppr_np(edges, seeds, damping=0.85, iters=8):
             new[v] = ((1 - damping) + damping * dangling) * tele[v] + damping * s
         pr = new
     return pr
+
+
+def bfs_np(edges, seeds, max_hops=10**9, directed=False):
+    """Multi-source BFS hop distances; only reachable vertices appear."""
+    if directed:
+        adj = defaultdict(set)
+        for u, v in edges:
+            if u != v:
+                adj[u].add(v)
+    else:
+        adj = _sym_adj(edges)
+    dist = {s: 0 for s in set(seeds)}
+    frontier = set(dist)
+    h = 0
+    while frontier and h < max_hops:
+        h += 1
+        frontier = {w for v in frontier for w in adj[v] if w not in dist}
+        for w in frontier:
+            dist[w] = h
+    return dist
