@@ -126,6 +126,17 @@ elif kernel == "kcore":
     # identical work at both parallelism widths
     kcore(edges, k=24).count()
     work = m
+elif kernel == "bfs":
+    from parrsb_spark.operators.bfs import bfs_distances
+    from parrsb_spark.sources.edges import vertices_from_edges
+
+    # single min-vid seed; symmetrized expansion touches each edge's
+    # endpoint exactly once across the whole run (every vertex enters
+    # the frontier at most once), so total join work ≈ 2m sym edges
+    seeds = vertices_from_edges(edges).orderBy("vid").limit(1)
+    reached = bfs_distances(edges, seeds, max_hops=32).count()
+    work = 2 * m
+    extra_fields["reached"] = reached
 elif kernel == "extract":
     # compute-bound Arrow-UDF pipeline: synth pages -> extract links ->
     # edges + dense ids (no iterative shuffles; scales with cores)
