@@ -357,6 +357,35 @@ def sql_graph_triangles():
     )
 
 
+def q_graph_lcc(spark, sf_dir):
+    from parrsb_spark.operators.triangles import clustering_coefficients
+
+    return clustering_coefficients(copurchase_edges(spark, sf_dir)).select(
+        "vid", "tri", "deg", "lcc"
+    )
+
+
+def sql_graph_lcc() -> str:
+    # same triangle CTE as sql_graph_triangles + the symmetrized degree;
+    # lcc = 2*tri/(deg*(deg-1)) is ONE double division on exact integer
+    # operands, so Spark and DuckDB agree bitwise
+    return (
+        f"WITH {CP_CTE}, {CP_SYM_CTE}, {CP_VERTS_CTE}, "
+        "tri AS (SELECT e1.src AS u, e1.dst AS v, e2.dst AS w "
+        "FROM cp e1 JOIN cp e2 ON e1.src = e2.src AND e1.dst < e2.dst "
+        "JOIN cp e3 ON e3.src = e1.dst AND e3.dst = e2.dst), "
+        "x AS (SELECT u AS vid FROM tri UNION ALL SELECT v FROM tri UNION ALL SELECT w FROM tri), "
+        "cnts AS (SELECT vid, count(*) AS tri FROM x GROUP BY vid), "
+        "dg AS (SELECT src AS vid, count(*) AS deg FROM cpsym GROUP BY src) "
+        "SELECT cv.vid, coalesce(c.tri, 0) AS tri, coalesce(d.deg, 0) AS deg, "
+        "CASE WHEN coalesce(d.deg, 0) >= 2 "
+        "THEN 2.0 * coalesce(c.tri, 0) / (CAST(d.deg AS DOUBLE) * CAST(d.deg - 1 AS DOUBLE)) "
+        "ELSE 0.0 END AS lcc "
+        "FROM cpverts cv LEFT JOIN cnts c ON cv.vid = c.vid "
+        "LEFT JOIN dg d ON cv.vid = d.vid"
+    )
+
+
 def q_graph_mirror_pairs(spark, sf_dir):
     from parrsb_spark.operators.checks import mirror_pairs
 
@@ -1108,6 +1137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_cc_dense": q_graph_cc_dense,
         "graph_labelprop": q_graph_labelprop,
         "graph_triangles": q_graph_triangles,
+        "graph_lcc": q_graph_lcc,
         "graph_mirror_pairs": q_graph_mirror_pairs,
         "graph_fiedler_qa": q_graph_fiedler_qa,
         "graph_rsb_sizes": q_graph_rsb_sizes,
@@ -1152,6 +1182,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_cc_dense": sql_graph_cc_dense(),
         "graph_labelprop": sql_graph_labelprop(),
         "graph_triangles": sql_graph_triangles(),
+        "graph_lcc": sql_graph_lcc(),
         "graph_mirror_pairs": sql_graph_mirror_pairs(),
         # spectral CONTRACT rows (unit norm / orthogonality / sign, the
         # closed-form halving sizes, the genmap --test gate) — each SQL-

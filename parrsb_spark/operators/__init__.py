@@ -3,7 +3,11 @@ from parrsb_spark.operators.hits import hits
 from parrsb_spark.operators.kcore import kcore
 from parrsb_spark.operators.bfs import bfs_distances
 from parrsb_spark.operators.components import connected_components, cc_bfs_single_seed
-from parrsb_spark.operators.triangles import triangle_counts, triangle_total
+from parrsb_spark.operators.triangles import (
+    clustering_coefficients,
+    triangle_counts,
+    triangle_total,
+)
 from parrsb_spark.operators.labelprop import label_propagation
 from parrsb_spark.operators.fiedler import fiedler
 from parrsb_spark.operators.rsb import rsb_partition, rsb_resumable
@@ -24,6 +28,7 @@ __all__ = [
     "connected_components",
     "cc_bfs_single_seed",
     "triangle_counts",
+    "clustering_coefficients",
     "triangle_total",
     "label_propagation",
     "fiedler",

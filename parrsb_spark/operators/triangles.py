@@ -68,3 +68,30 @@ def triangle_counts(edges: DataFrame, vertices: DataFrame | None = None) -> Data
     return verts.join(counts, "vid", "left").select(
         "vid", F.coalesce("tri", F.lit(0)).alias("tri")
     )
+
+
+def clustering_coefficients(edges: DataFrame) -> DataFrame:
+    """(vid, tri, deg, lcc) — local clustering coefficient per vertex:
+    lcc = tri / C(deg, 2) over the symmetrized simple graph, 0.0 where
+    deg < 2. The spam-farm / template-cluster detector a webgraph
+    pipeline runs right after triangle counting: link farms sit at
+    lcc ≈ 1, genuine hubs near 0.
+
+    Pure composition — one triangle pass + one degree aggregate joined
+    on vid; no new shuffle shapes beyond the compact-forward join above,
+    and the single division is IEEE-exact (one double op), so results
+    are bitwise reproducible across partitionings.
+    """
+    tri = triangle_counts(edges)
+    deg = degrees(edges)
+    d = F.coalesce("deg", F.lit(0))
+    return tri.join(deg, "vid", "left").select(
+        "vid",
+        "tri",
+        d.alias("deg"),
+        F.when(
+            d >= 2, 2.0 * F.col("tri") / (d.cast("double") * (d - F.lit(1)).cast("double"))
+        )
+        .otherwise(F.lit(0.0))
+        .alias("lcc"),
+    )

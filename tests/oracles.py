@@ -88,6 +88,17 @@ def triangles_np(edges):
     return tri
 
 
+def lcc_np(edges):
+    """(vid → (tri, deg, lcc)); lcc = 2*tri/(deg*(deg-1)), 0.0 if deg < 2."""
+    tri = triangles_np(edges)
+    adj = _sym_adj(edges)
+    out = {}
+    for v in _vertices(edges):
+        d = len(adj[v])
+        out[v] = (tri[v], d, 2.0 * tri[v] / (d * (d - 1)) if d >= 2 else 0.0)
+    return out
+
+
 def labelprop_np(edges, n_iter=5):
     """Deterministic synchronous LP: argmax count, ties → smallest label."""
     adj = _sym_adj(edges)

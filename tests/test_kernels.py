@@ -7,8 +7,12 @@ from parrsb_spark import graphs
 from parrsb_spark.operators.components import cc_bfs_single_seed, connected_components
 from parrsb_spark.operators.labelprop import label_propagation
 from parrsb_spark.operators.pagerank import pagerank
-from parrsb_spark.operators.triangles import triangle_counts, triangle_total
-from tests.oracles import components_np, labelprop_np, pagerank_np, triangles_np
+from parrsb_spark.operators.triangles import (
+    clustering_coefficients,
+    triangle_counts,
+    triangle_total,
+)
+from tests.oracles import components_np, labelprop_np, lcc_np, pagerank_np, triangles_np
 
 
 @pytest.mark.parametrize(
@@ -92,6 +96,26 @@ def test_triangle_counts_per_vertex(spark):
     got = {r["vid"]: r["tri"] for r in triangle_counts(df).collect()}
     exp = triangles_np(edges)
     assert got == exp
+
+
+def test_clustering_coefficients_match_oracle(spark):
+    # powerlaw: general agreement incl. deg-1 leaves (lcc must be 0.0,
+    # not NaN); cliques+bridge: interior clique vertices at lcc == 1.0
+    for edges in (graphs.powerlaw(80, m=3, seed=7), graphs.two_cliques_bridge(6)):
+        df = graphs.to_df(spark, edges)
+        got = {r["vid"]: (r["tri"], r["deg"], r["lcc"]) for r in clustering_coefficients(df).collect()}
+        exp = lcc_np(edges)
+        assert set(got) == set(exp)
+        for v in exp:
+            assert got[v][:2] == exp[v][:2], v
+            assert got[v][2] == pytest.approx(exp[v][2], abs=1e-12), v
+
+
+def test_clustering_coefficient_clique_is_one(spark):
+    edges = graphs.two_cliques_bridge(8)
+    df = graphs.to_df(spark, edges)
+    vals = {r["vid"]: r["lcc"] for r in clustering_coefficients(df).collect()}
+    assert sum(1 for x in vals.values() if x == 1.0) >= 12  # non-bridge clique members
 
 
 def test_label_propagation_matches_oracle(spark):
