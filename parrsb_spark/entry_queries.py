@@ -39,6 +39,8 @@ KCORE_K = 80
 KCORE_ROUNDS = 16
 BFS_N_SEEDS = 3
 BFS_HOPS = 12
+SSSP_N_SEEDS = 3
+SSSP_ROUNDS = 16
 
 # ---------------------------------------------------------------------------
 # shared derivations
@@ -296,6 +298,43 @@ def sql_graph_bfs(hops: int = BFS_HOPS) -> str:
             f"LEFT JOIN {p} q ON r.vid = q.vid WHERE q.vid IS NULL)"
         )
     return "WITH " + ", ".join(parts) + f" SELECT vid, dist FROM b{hops}"
+
+
+def q_graph_sssp(spark, sf_dir):
+    from parrsb_spark.operators.sssp import sssp
+    from parrsb_spark.sources.edges import vertices_from_edges
+
+    e = bipartite_edges(spark, sf_dir)
+    # deterministic positive integer weights derived from the endpoints;
+    # symmetric under direction reversal, so the undirected expansion is
+    # well-defined and dist stays an exact long end to end
+    we = e.withColumn("w", (F.col("src") + F.col("dst")) % 7 + 1)
+    seeds = vertices_from_edges(e).orderBy("vid").limit(SSSP_N_SEEDS)
+    return sssp(we, seeds, max_rounds=SSSP_ROUNDS).select("vid", "dist")
+
+
+def sql_graph_sssp(rounds: int = SSSP_ROUNDS) -> str:
+    # full Bellman-Ford relaxation unrolled: after round h BOTH sides
+    # hold exactly the best distance over paths of <= h edges (the
+    # Spark kernel's delta pruning only skips provably no-op
+    # relaxations), so equality holds at every h — converged or not
+    parts = [
+        EG_CTE,
+        VERTS_CTE,
+        "we AS MATERIALIZED (SELECT src, dst, (src + dst) % 7 + 1 AS w FROM eg "
+        "UNION ALL SELECT dst AS src, src AS dst, (src + dst) % 7 + 1 AS w FROM eg)",
+        f"wseeds AS MATERIALIZED (SELECT vid FROM verts ORDER BY vid LIMIT {SSSP_N_SEEDS})",
+        "s0 AS (SELECT vid, CAST(0 AS BIGINT) AS dist FROM wseeds)",
+    ]
+    for h in range(1, rounds + 1):
+        p = f"s{h - 1}"
+        parts.append(
+            f"s{h} AS MATERIALIZED (SELECT vid, min(dist) AS dist FROM ("
+            f"SELECT vid, dist FROM {p} UNION ALL "
+            f"SELECT e.dst AS vid, f.dist + e.w AS dist FROM we e JOIN {p} f "
+            f"ON e.src = f.vid) GROUP BY vid)"
+        )
+    return "WITH " + ", ".join(parts) + f" SELECT vid, dist FROM s{rounds}"
 
 
 def q_graph_cc(spark, sf_dir):
@@ -1133,6 +1172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_ppr": q_graph_ppr,
         "graph_kcore": q_graph_kcore,
         "graph_bfs": q_graph_bfs,
+        "graph_sssp": q_graph_sssp,
         "graph_cc": q_graph_cc,
         "graph_cc_dense": q_graph_cc_dense,
         "graph_labelprop": q_graph_labelprop,
@@ -1178,6 +1218,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_ppr": sql_graph_ppr(),
         "graph_kcore": sql_graph_kcore(),
         "graph_bfs": sql_graph_bfs(),
+        "graph_sssp": sql_graph_sssp(),
         "graph_cc": sql_graph_cc(),
         "graph_cc_dense": sql_graph_cc_dense(),
         "graph_labelprop": sql_graph_labelprop(),

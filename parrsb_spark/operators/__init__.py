@@ -2,6 +2,7 @@ from parrsb_spark.operators.pagerank import pagerank, personalized_pagerank
 from parrsb_spark.operators.hits import hits
 from parrsb_spark.operators.kcore import kcore
 from parrsb_spark.operators.bfs import bfs_distances
+from parrsb_spark.operators.sssp import sssp
 from parrsb_spark.operators.components import connected_components, cc_bfs_single_seed
 from parrsb_spark.operators.triangles import (
     clustering_coefficients,
@@ -25,6 +26,7 @@ __all__ = [
     "hits",
     "kcore",
     "bfs_distances",
+    "sssp",
     "connected_components",
     "cc_bfs_single_seed",
     "triangle_counts",

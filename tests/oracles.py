@@ -206,6 +206,27 @@ def ppr_np(edges, seeds, damping=0.85, iters=8):
     return pr
 
 
+def sssp_np(wedges, seeds, max_rounds=10**9, directed=False):
+    """Bellman-Ford over (u, v, w) triples: vid → best ≤max_rounds-edge
+    path weight from the nearest seed; unreachable vertices absent."""
+    rel = []
+    for u, v, w in wedges:
+        if u != v:
+            rel.append((u, v, w))
+            if not directed:
+                rel.append((v, u, w))
+    dist = {s: 0 for s in set(seeds)}
+    for _ in range(max_rounds):
+        new = dict(dist)
+        for u, v, w in rel:
+            if u in dist and (v not in new or dist[u] + w < new[v]):
+                new[v] = dist[u] + w
+        if new == dist:
+            break
+        dist = new
+    return dist
+
+
 def bfs_np(edges, seeds, max_hops=10**9, directed=False):
     """Multi-source BFS hop distances; only reachable vertices appear."""
     if directed:
