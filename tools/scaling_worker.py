@@ -137,6 +137,20 @@ elif kernel == "bfs":
     reached = bfs_distances(edges, seeds, max_hops=32).count()
     work = 2 * m
     extra_fields["reached"] = reached
+elif kernel == "sssp":
+    from pyspark.sql import functions as F
+
+    from parrsb_spark.operators.sssp import sssp
+    from parrsb_spark.sources.edges import vertices_from_edges
+
+    # endpoint-derived positive weights; one min-vid seed. Weighted
+    # relaxation re-improves vertices, so round count exceeds the BFS
+    # hop count on the same graph — more frontier work per edge
+    we = edges.withColumn("w", (F.col("src") + F.col("dst")) % 7 + 1)
+    seeds = vertices_from_edges(edges).orderBy("vid").limit(1)
+    settled = sssp(we, seeds, max_rounds=32).count()
+    work = 2 * m
+    extra_fields["settled"] = settled
 elif kernel == "extract":
     # compute-bound Arrow-UDF pipeline: synth pages -> extract links ->
     # edges + dense ids (no iterative shuffles; scales with cores)
