@@ -425,6 +425,86 @@ def sql_graph_lcc() -> str:
     )
 
 
+def q_graph_modularity(spark, sf_dir):
+    """Newman modularity decomposition of the label-propagation
+    communities on the co-purchase graph — the quality gate that
+    completes the community pipeline (pattern of the reference's
+    partition audit). Per-community aggregates are exact integers;
+    `contrib` is one float expression written identically in the
+    oracle, so the hash comparison is bitwise."""
+    from parrsb_spark.operators.community import modularity_by_community
+    from parrsb_spark.operators.labelprop import label_propagation
+
+    edges = copurchase_edges(spark, sf_dir)
+    labels = label_propagation(edges, n_iter=LP_ITERS).select("vid", "label")
+    return modularity_by_community(edges, labels)
+
+
+def sql_graph_modularity(iters: int = LP_ITERS) -> str:
+    lp = sql_graph_labelprop(iters)
+    # reuse the unrolled labelprop chain verbatim as the label map
+    body = lp[len("WITH ") :]
+    half = "(CAST(ds.deg_sum AS DOUBLE) / (2.0 * CAST(mm.m AS DOUBLE)))"
+    return (
+        "WITH "
+        + body.replace(f" SELECT vid, label FROM lp{iters}", "")
+        + f", lab AS MATERIALIZED (SELECT vid, label FROM lp{iters})"
+        ", ein AS (SELECT ls.label AS label, count(*) AS edges_in "
+        "FROM cp e JOIN lab ls ON e.src = ls.vid JOIN lab ld ON e.dst = ld.vid "
+        "WHERE ls.label = ld.label GROUP BY ls.label), "
+        "dg AS (SELECT src AS vid, count(*) AS deg FROM cpsym GROUP BY src), "
+        "ds AS (SELECT l.label, count(*) AS members, CAST(sum(d.deg) AS BIGINT) AS deg_sum "
+        "FROM lab l JOIN dg d ON l.vid = d.vid GROUP BY l.label), "
+        "mm AS (SELECT count(*) AS m FROM cp) "
+        "SELECT ds.label, ds.members, CAST(coalesce(ein.edges_in, 0) AS BIGINT) AS edges_in, "
+        "ds.deg_sum, "
+        "CAST(coalesce(ein.edges_in, 0) AS DOUBLE) / CAST(mm.m AS DOUBLE) "
+        f"- {half} * {half} AS contrib "
+        "FROM ds LEFT JOIN ein ON ds.label = ein.label CROSS JOIN mm"
+    )
+
+
+ANF_HOPS = 4
+ANF_SKETCHES = 4
+
+
+def q_graph_anf(spark, sf_dir):
+    """ANF (Flajolet-Martin) reachability sketch after a fixed number
+    of bit_or merge hops over the symmetrized bipartite graph. The
+    sketch arithmetic is engine-portable integer math, so the oracle
+    replays the distributed merge BIT-IDENTICALLY — masks and the
+    least-zero-bit sum are exact; the float ball-size estimate derived
+    from them is pytest-checked against exact BFS ball sizes."""
+    from parrsb_spark.operators.anf import anf_masks
+
+    return anf_masks(
+        bipartite_edges(spark, sf_dir), n_hops=ANF_HOPS, n_sketches=ANF_SKETCHES
+    )
+
+
+def sql_graph_anf(hops: int = ANF_HOPS, k: int = ANF_SKETCHES) -> str:
+    from parrsb_spark.operators.anf import _fm_mask_sql, _lzb_sql
+
+    mask_cols = ", ".join(f"{_fm_mask_sql('vid', j)} AS s{j}" for j in range(k))
+    parts = [EG_CTE, VERTS_CTE, SYM_CTE, f"m0 AS (SELECT vid, {mask_cols} FROM verts)"]
+    for h in range(1, hops + 1):
+        p = f"m{h - 1}"
+        sel = ", ".join(f"v.s{j} | coalesce(n.o{j}, 0) AS s{j}" for j in range(k))
+        ag = ", ".join(f"bit_or(m.s{j}) AS o{j}" for j in range(k))
+        parts.append(
+            f"m{h} AS MATERIALIZED (SELECT v.vid, {sel} FROM {p} v "
+            f"LEFT JOIN (SELECT s.dst AS vid, {ag} FROM sym s JOIN {p} m "
+            f"ON s.src = m.vid GROUP BY s.dst) n ON v.vid = n.vid)"
+        )
+    lzb = " + ".join(_lzb_sql(f"s{j}") for j in range(k))
+    scols = ", ".join(f"s{j}" for j in range(k))
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f" SELECT vid, {scols}, CAST({lzb} AS BIGINT) AS lzb_sum FROM m{hops}"
+    )
+
+
 def q_graph_mirror_pairs(spark, sf_dir):
     from parrsb_spark.operators.checks import mirror_pairs
 
@@ -1178,6 +1258,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_labelprop": q_graph_labelprop,
         "graph_triangles": q_graph_triangles,
         "graph_lcc": q_graph_lcc,
+        "graph_modularity": q_graph_modularity,
+        "graph_anf": q_graph_anf,
         "graph_mirror_pairs": q_graph_mirror_pairs,
         "graph_fiedler_qa": q_graph_fiedler_qa,
         "graph_rsb_sizes": q_graph_rsb_sizes,
@@ -1224,6 +1306,8 @@ def oracle_sql() -> dict[str, str]:
         "graph_labelprop": sql_graph_labelprop(),
         "graph_triangles": sql_graph_triangles(),
         "graph_lcc": sql_graph_lcc(),
+        "graph_modularity": sql_graph_modularity(),
+        "graph_anf": sql_graph_anf(),
         "graph_mirror_pairs": sql_graph_mirror_pairs(),
         # spectral CONTRACT rows (unit norm / orthogonality / sign, the
         # closed-form halving sizes, the genmap --test gate) — each SQL-

@@ -10,6 +10,13 @@ from parrsb_spark.operators.triangles import (
     triangle_total,
 )
 from parrsb_spark.operators.labelprop import label_propagation
+from parrsb_spark.operators.community import modularity, modularity_by_community
+from parrsb_spark.operators.anf import (
+    anf_masks,
+    ball_estimates,
+    effective_diameter,
+    neighborhood_function,
+)
 from parrsb_spark.operators.fiedler import fiedler
 from parrsb_spark.operators.rsb import rsb_partition, rsb_resumable
 from parrsb_spark.operators.hierarchy import rsb_partition_two_level, two_level_stats
@@ -33,6 +40,12 @@ __all__ = [
     "clustering_coefficients",
     "triangle_total",
     "label_propagation",
+    "modularity",
+    "modularity_by_community",
+    "anf_masks",
+    "ball_estimates",
+    "neighborhood_function",
+    "effective_diameter",
     "fiedler",
     "rsb_partition",
     "rsb_resumable",

@@ -40,6 +40,31 @@ def test_bfs_final_plan_no_python(spark):
         assert bad not in plan, f"{bad} in bfs plan"
 
 
+def test_anf_final_plan_no_python_no_window(spark):
+    from parrsb_spark.operators.anf import anf_masks
+
+    df = graphs.to_df(spark, graphs.powerlaw(50, m=2, seed=3))
+    plan = _plan(anf_masks(df, n_hops=3, n_sketches=4))
+    for bad in BAD_JOINS + ("EvalPython", "Window"):
+        assert bad not in plan, f"{bad} in anf plan"
+
+
+def test_modularity_plan_no_python_no_window(spark):
+    from parrsb_spark.operators.community import modularity_by_community
+
+    edges = graphs.powerlaw(50, m=2, seed=3)
+    df = graphs.to_df(spark, edges)
+    verts = sorted({u for u, _ in edges} | {v for _, v in edges})
+    labels = spark.createDataFrame([(v, v % 3) for v in verts], "vid long, label long")
+    plan = _plan(modularity_by_community(df, labels))
+    # the only nested-loop is the broadcast 1-row m attach (the
+    # dangling-mass pattern) — assert no Python/Window and no
+    # non-broadcast cartesian
+    assert "EvalPython" not in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_sssp_final_plan_no_python(spark):
     edges = graphs.powerlaw(40, m=2, seed=2)
     wdf = spark.createDataFrame(
