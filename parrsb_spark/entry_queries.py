@@ -505,6 +505,53 @@ def sql_graph_anf(hops: int = ANF_HOPS, k: int = ANF_SKETCHES) -> str:
     )
 
 
+WALK_LEN = 4
+
+
+def q_graph_walks(spark, sf_dir):
+    """DeepWalk-style corpus: one deterministic hash-ranked random walk
+    per vertex over the symmetrized bipartite graph. The pseudo-random
+    step is portable integer math, so the oracle replays every walk
+    BIT-IDENTICALLY — the distributed simulation is checked exactly."""
+    from parrsb_spark.operators.walks import random_walks
+
+    return random_walks(bipartite_edges(spark, sf_dir), walk_length=WALK_LEN).select(
+        "walk_id", F.col("step").cast("long").alias("step"), "vid"
+    )
+
+
+def sql_graph_walks(walk_len: int = WALK_LEN) -> str:
+    from parrsb_spark.operators.walks import _step_hash_sql
+
+    parts = [
+        EG_CTE,
+        VERTS_CTE,
+        SYM_CTE,
+        "w0 AS MATERIALIZED (SELECT vid AS walk_id, vid FROM verts)",
+    ]
+    for k in range(1, walk_len + 1):
+        p = f"w{k - 1}"
+        h = _step_hash_sql("w.walk_id", k, "e.dst")
+        parts.append(
+            f"c{k} AS MATERIALIZED (SELECT w.walk_id, e.dst, {h} AS h "
+            f"FROM sym e JOIN {p} w ON e.src = w.vid)"
+        )
+        parts.append(
+            f"s{k} AS (SELECT c.walk_id, min(c.dst) AS vid FROM c{k} c "
+            f"JOIN (SELECT walk_id, min(h) AS mh FROM c{k} GROUP BY walk_id) q "
+            f"ON c.walk_id = q.walk_id AND c.h = q.mh GROUP BY c.walk_id)"
+        )
+        parts.append(
+            f"w{k} AS MATERIALIZED (SELECT w.walk_id, coalesce(s.vid, w.vid) AS vid "
+            f"FROM {p} w LEFT JOIN s{k} s ON w.walk_id = s.walk_id)"
+        )
+    steps = " UNION ALL ".join(
+        f"SELECT walk_id, CAST({k} AS BIGINT) AS step, vid FROM w{k}"
+        for k in range(walk_len + 1)
+    )
+    return "WITH " + ", ".join(parts) + " " + steps
+
+
 def q_graph_mirror_pairs(spark, sf_dir):
     from parrsb_spark.operators.checks import mirror_pairs
 
@@ -1260,6 +1307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_lcc": q_graph_lcc,
         "graph_modularity": q_graph_modularity,
         "graph_anf": q_graph_anf,
+        "graph_walks": q_graph_walks,
         "graph_mirror_pairs": q_graph_mirror_pairs,
         "graph_fiedler_qa": q_graph_fiedler_qa,
         "graph_rsb_sizes": q_graph_rsb_sizes,
@@ -1308,6 +1356,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_lcc": sql_graph_lcc(),
         "graph_modularity": sql_graph_modularity(),
         "graph_anf": sql_graph_anf(),
+        "graph_walks": sql_graph_walks(),
         "graph_mirror_pairs": sql_graph_mirror_pairs(),
         # spectral CONTRACT rows (unit norm / orthogonality / sign, the
         # closed-form halving sizes, the genmap --test gate) — each SQL-

@@ -11,6 +11,7 @@ from parrsb_spark.operators.triangles import (
 )
 from parrsb_spark.operators.labelprop import label_propagation
 from parrsb_spark.operators.community import modularity, modularity_by_community
+from parrsb_spark.operators.walks import random_walks
 from parrsb_spark.operators.anf import (
     anf_masks,
     ball_estimates,
@@ -42,6 +43,7 @@ __all__ = [
     "label_propagation",
     "modularity",
     "modularity_by_community",
+    "random_walks",
     "anf_masks",
     "ball_estimates",
     "neighborhood_function",

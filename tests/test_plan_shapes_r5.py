@@ -65,6 +65,15 @@ def test_modularity_plan_no_python_no_window(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_walks_final_plan_no_python_no_window(spark):
+    from parrsb_spark.operators.walks import random_walks
+
+    df = graphs.to_df(spark, graphs.powerlaw(40, m=2, seed=3))
+    plan = _plan(random_walks(df, walk_length=3))
+    for bad in BAD_JOINS + ("EvalPython", "Window"):
+        assert bad not in plan, f"{bad} in walks plan"
+
+
 def test_sssp_final_plan_no_python(spark):
     edges = graphs.powerlaw(40, m=2, seed=2)
     wdf = spark.createDataFrame(

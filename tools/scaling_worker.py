@@ -126,6 +126,23 @@ elif kernel == "kcore":
     # identical work at both parallelism widths
     kcore(edges, k=24).count()
     work = m
+elif kernel == "anf":
+    from parrsb_spark.operators.anf import anf_masks
+
+    # fixed-hop bit_or merge: every hop touches all 2m sym edges with a
+    # map-side-combinable reduce — identical work at both widths
+    HOPS = 4
+    anf_masks(edges, n_hops=HOPS, n_sketches=4).agg({"lzb_sum": "sum"}).collect()
+    work = 2 * m * HOPS
+elif kernel == "walks":
+    from parrsb_spark.operators.walks import random_walks
+
+    # one walk per vertex: every step scans the out-edges of every
+    # walker (~2m sym candidate rows) + one min-struct reduce
+    L = 4
+    n_rows = random_walks(edges, walk_length=L).count()
+    work = 2 * m * L
+    extra_fields["corpus_rows"] = n_rows
 elif kernel == "bfs":
     from parrsb_spark.operators.bfs import bfs_distances
     from parrsb_spark.sources.edges import vertices_from_edges
