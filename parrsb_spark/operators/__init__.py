@@ -16,6 +16,7 @@ from parrsb_spark.operators.anf import (
     anf_masks,
     ball_estimates,
     effective_diameter,
+    harmonic_centrality_estimates,
     neighborhood_function,
 )
 from parrsb_spark.operators.fiedler import fiedler
@@ -48,6 +49,7 @@ __all__ = [
     "ball_estimates",
     "neighborhood_function",
     "effective_diameter",
+    "harmonic_centrality_estimates",
     "fiedler",
     "rsb_partition",
     "rsb_resumable",

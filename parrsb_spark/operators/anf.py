@@ -175,6 +175,69 @@ def neighborhood_function(
     return out
 
 
+def harmonic_centrality_estimates(
+    edges: DataFrame,
+    max_hops: int = 8,
+    n_sketches: int = 8,
+    directed: bool = False,
+) -> DataFrame:
+    """(vid, harmonic_est) — FM estimate of harmonic centrality
+    H(v) = Σ_{u≠v} 1/d(u,v), the distance-based centrality that stays
+    well-defined on disconnected webgraphs (Boldi-Vigna, "Axioms for
+    Centrality"): per hop, the ball GROWTH |ball(v,h)| − |ball(v,h−1)|
+    counts the vertices at distance exactly h, each weighted 1/h.
+    Exact H(v) needs all-pairs BFS — Θ(V·E), dead at webgraph scale;
+    the sketch pass is the same bit_or gather-scatter as anf_masks
+    with a running per-vertex accumulator column (one extra float per
+    vertex, still whole-stage-codegen friendly). With `directed=True`
+    balls are in-balls (see anf_masks), giving the in-harmonic
+    centrality — the link-authority variant."""
+    spark = edges.sparkSession
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    g = (edges if directed else symmetrize(edges)).repartition(n_shuffle, "src").cache()
+    cols = [f"s{k}" for k in range(n_sketches)]
+
+    def est():
+        lzb = None
+        for c in cols:
+            t = F.expr(_lzb_sql(c))
+            lzb = t if lzb is None else lzb + t
+        return F.pow(F.lit(2.0), lzb / float(n_sketches)) / FM_PHI
+
+    cur = vertices_from_edges(g).select(
+        "vid",
+        *[F.expr(_fm_mask_sql("vid", k)).alias(c) for k, c in enumerate(cols)],
+    )
+    cur = cur.select("*", est().alias("prev_est"), F.lit(0.0).alias("harmonic_est"))
+    cur = cur.localCheckpoint(eager=True)
+    for h in range(1, max_hops + 1):
+        nb = (
+            g.join(cur.select("vid", *cols).withColumnRenamed("vid", "src"), "src")
+            .groupBy(F.col("dst").alias("vid"))
+            .agg(*[F.bit_or(c).alias(f"o_{c}") for c in cols])
+        )
+        merged = cur.join(nb, "vid", "left").select(
+            "vid",
+            *[
+                (F.col(c).bitwiseOR(F.coalesce(F.col(f"o_{c}"), F.lit(0)))).alias(c)
+                for c in cols
+            ],
+            "prev_est",
+            "harmonic_est",
+        )
+        cur = merged.select(
+            "vid",
+            *cols,
+            est().alias("prev_est"),
+            (
+                F.col("harmonic_est")
+                + F.greatest(est() - F.col("prev_est"), F.lit(0.0)) / float(h)
+            ).alias("harmonic_est"),
+        ).localCheckpoint(eager=True)
+    g.unpersist()
+    return cur.select("vid", "harmonic_est")
+
+
 def effective_diameter(nf: list[tuple[int, float]], q: float = 0.9) -> float:
     """Interpolated effective diameter from a neighborhood function:
     the smallest (fractional) h with N(h) ≥ q · N(h_max)."""

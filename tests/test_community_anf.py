@@ -162,3 +162,27 @@ def test_anf_directed_respects_orientation(spark):
         reduce(lambda a, b: a | b, (init[u][j] for u in (1, 2, 3, 4))) for j in range(k)
     )
     assert got[4] == want4  # sink's in-ball is the whole path
+
+
+def test_harmonic_centrality_estimates(spark):
+    """Estimator vs exact harmonic centrality on a ring (closed form:
+    H(v) = 2·Σ_{h=1..n/2-ish} 1/h, identical for every vertex) and
+    rank sanity on a star (the hub must dominate every leaf)."""
+    from parrsb_spark.operators.anf import harmonic_centrality_estimates
+
+    n = 16
+    df = graphs.to_df(spark, graphs.ring(n))
+    got = {
+        r["vid"]: r["harmonic_est"]
+        for r in harmonic_centrality_estimates(df, max_hops=8, n_sketches=8).collect()
+    }
+    exact = sum(2.0 / h for h in range(1, 8)) + 1.0 / 8  # 2 per hop, 1 antipode
+    for v, est in got.items():
+        assert 0.3 * exact <= est <= 3.0 * exact, (v, est, exact)
+
+    star = graphs.to_df(spark, graphs.star_hub(20))  # hub=1, leaves 2..21
+    hc = {
+        r["vid"]: r["harmonic_est"]
+        for r in harmonic_centrality_estimates(star, max_hops=3, n_sketches=8).collect()
+    }
+    assert all(hc[1] > hc[leaf] for leaf in range(2, 22))
