@@ -521,29 +521,26 @@ def q_graph_walks(spark, sf_dir):
 
 
 def sql_graph_walks(walk_len: int = WALK_LEN) -> str:
-    from parrsb_spark.operators.walks import _step_hash_sql
+    from parrsb_spark.operators.walks import _pick_hash_sql
 
     parts = [
         EG_CTE,
         VERTS_CTE,
         SYM_CTE,
+        # rank-indexed adjacency, exactly the operator's setup: rnk =
+        # 1-based position in src's dst-sorted neighbor list
+        "adj AS MATERIALIZED (SELECT src, dst, "
+        "row_number() OVER (PARTITION BY src ORDER BY dst) AS rnk, "
+        "count(*) OVER (PARTITION BY src) AS deg FROM sym)",
         "w0 AS MATERIALIZED (SELECT vid AS walk_id, vid FROM verts)",
     ]
     for k in range(1, walk_len + 1):
         p = f"w{k - 1}"
-        h = _step_hash_sql("w.walk_id", k, "e.dst")
+        h = _pick_hash_sql("w.walk_id", k, "w.vid")
         parts.append(
-            f"c{k} AS MATERIALIZED (SELECT w.walk_id, e.dst, {h} AS h "
-            f"FROM sym e JOIN {p} w ON e.src = w.vid)"
-        )
-        parts.append(
-            f"s{k} AS (SELECT c.walk_id, min(c.dst) AS vid FROM c{k} c "
-            f"JOIN (SELECT walk_id, min(h) AS mh FROM c{k} GROUP BY walk_id) q "
-            f"ON c.walk_id = q.walk_id AND c.h = q.mh GROUP BY c.walk_id)"
-        )
-        parts.append(
-            f"w{k} AS MATERIALIZED (SELECT w.walk_id, coalesce(s.vid, w.vid) AS vid "
-            f"FROM {p} w LEFT JOIN s{k} s ON w.walk_id = s.walk_id)"
+            f"w{k} AS MATERIALIZED (SELECT w.walk_id, coalesce(a.dst, w.vid) AS vid "
+            f"FROM {p} w LEFT JOIN adj a ON a.src = w.vid "
+            f"AND a.rnk = 1 + ({h} % a.deg))"
         )
     steps = " UNION ALL ".join(
         f"SELECT walk_id, CAST({k} AS BIGINT) AS step, vid FROM w{k}"

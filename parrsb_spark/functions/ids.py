@@ -43,6 +43,7 @@ def grouped_rank(
     group_col: str,
     order_cols: list[str],
     out_col: str = "rn",
+    total_col: str | None = None,
 ) -> DataFrame:
     """Scale-safe per-group dense rank: 1..n_g within each group, ordered
     by `order_cols` (which MUST end in a unique tiebreaker, e.g. vid —
@@ -58,6 +59,12 @@ def grouped_rank(
     spanning only contiguous partitions — are broadcast back. Same
     mechanics as `dense_ids_scalable` (the comm_scan analogue); preserves
     every input column.
+
+    `total_col`, if given, also attaches the group's TOTAL row count to
+    every row — for free: the total rides the same tiny broadcast frame
+    as the prefix offsets (per-(partition, group) rows, each group
+    spanning ≤ #partitions of them), so no extra shuffle or join over
+    the data. The walk kernel uses this for per-vertex degree.
     """
     ocols = list(order_cols)
     parted = df.repartitionByRange(F.col(group_col), *[F.col(c) for c in ocols])
@@ -82,8 +89,15 @@ def grouped_rank(
         Window.unboundedPreceding, -1
     )
     offsets = counts.withColumn("_off", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)))
+    side_cols = ["_pid", group_col, "_off"]
+    if total_col is not None:
+        w_tot = Window.partitionBy(group_col).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        offsets = offsets.withColumn(total_col, F.sum("_cnt").over(w_tot))
+        side_cols.append(total_col)
     return (
-        numbered.join(F.broadcast(offsets.select("_pid", group_col, "_off")), ["_pid", group_col])
+        numbered.join(F.broadcast(offsets.select(*side_cols)), ["_pid", group_col])
         .withColumn(out_col, F.col("_local") + F.col("_off"))
         .drop("_pid", "_local", "_off")
     )
