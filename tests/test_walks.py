@@ -65,3 +65,27 @@ def test_walk_step_choice_is_near_uniform(spark):
     assert sum(first.values()) == 200
     assert len(first) == 12  # every leaf reached
     assert all(5 <= c <= 40 for c in first.values()), first
+
+
+def test_indexed_adjacency_unique_ranks_and_totals(spark):
+    """The step join's soundness rests on two index invariants: (src, rnk)
+    is a unique key with rnk dense 1..deg(src) in dst order, and deg (the
+    grouped_rank total_col, which rides the offsets broadcast instead of
+    a degree join) equals the true neighbor count for EVERY row."""
+    from parrsb_spark.operators.walks import indexed_adjacency
+
+    edges = graphs.powerlaw(60, m=3, seed=7)
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    rows = indexed_adjacency(graphs.to_df(spark, edges)).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["src"], []).append(r)
+    assert set(by_src) == set(adj)
+    for src, rs in by_src.items():
+        assert all(r["deg"] == len(adj[src]) for r in rs)
+        ranked = sorted(rs, key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in ranked] == list(range(1, len(adj[src]) + 1))
+        assert [r["dst"] for r in ranked] == sorted(adj[src])

@@ -137,8 +137,11 @@ elif kernel == "anf":
 elif kernel == "walks":
     from parrsb_spark.operators.walks import random_walks
 
-    # one walk per vertex: every step scans the out-edges of every
-    # walker (~2m sym candidate rows) + one min-struct reduce
+    # one walk per vertex over the rank-indexed adjacency: each step
+    # emits exactly one row per walker (degree probe + index join).
+    # work stays 2mL — the old argmin design's unit — so rows remain
+    # comparable across the design change; the indexed kernel's true
+    # per-step row volume is n walkers, not 2m candidates.
     L = 4
     n_rows = random_walks(edges, walk_length=L).count()
     work = 2 * m * L
