@@ -505,6 +505,61 @@ def sql_graph_anf(hops: int = ANF_HOPS, k: int = ANF_SKETCHES) -> str:
     )
 
 
+def q_graph_harmonic(spark, sf_dir):
+    """FM-sketch harmonic centrality (Boldi-Vigna) after ANF_HOPS ball
+    merges — the distance-based centrality for disconnected webgraphs.
+    The sketch merge is bit-identical across engines (graph_anf); the
+    per-hop estimate 2^(lzb/k)/phi and the Σ growth/h accumulator are
+    the same expression text on both sides, so the only cross-engine
+    noise is pow/ULP at ~1e-12 relative — far below the round-6
+    parity. The estimates themselves are pytest-checked against exact
+    BFS harmonic sums (tests/test_community_anf.py)."""
+    from parrsb_spark.operators.anf import harmonic_centrality_estimates
+
+    hc = harmonic_centrality_estimates(
+        bipartite_edges(spark, sf_dir), max_hops=ANF_HOPS, n_sketches=ANF_SKETCHES
+    )
+    return hc.select("vid", F.round("harmonic_est", 6).alias("harmonic_est"))
+
+
+def sql_graph_harmonic(hops: int = ANF_HOPS, k: int = ANF_SKETCHES) -> str:
+    from parrsb_spark.operators.anf import FM_PHI, _fm_mask_sql, _lzb_sql
+
+    def est() -> str:
+        lzb = " + ".join(_lzb_sql(f"s{j}") for j in range(k))
+        return f"(pow(2.0, ({lzb}) / {float(k)}) / {FM_PHI})"
+
+    scols = ", ".join(f"s{j}" for j in range(k))
+    mask_cols = ", ".join(f"{_fm_mask_sql('vid', j)} AS s{j}" for j in range(k))
+    parts = [
+        EG_CTE,
+        VERTS_CTE,
+        SYM_CTE,
+        f"h0 AS (SELECT vid, {mask_cols} FROM verts)",
+        f"e0 AS MATERIALIZED (SELECT vid, {scols}, {est()} AS prev_est, "
+        "CAST(0.0 AS DOUBLE) AS harmonic_est FROM h0)",
+    ]
+    for h in range(1, hops + 1):
+        p = f"e{h - 1}"
+        sel = ", ".join(f"v.s{j} | coalesce(n.o{j}, 0) AS s{j}" for j in range(k))
+        ag = ", ".join(f"bit_or(m.s{j}) AS o{j}" for j in range(k))
+        parts.append(
+            f"g{h} AS (SELECT v.vid, {sel}, v.prev_est, v.harmonic_est "
+            f"FROM {p} v LEFT JOIN (SELECT s.dst AS vid, {ag} FROM sym s "
+            f"JOIN {p} m ON s.src = m.vid GROUP BY s.dst) n ON v.vid = n.vid)"
+        )
+        parts.append(
+            f"e{h} AS MATERIALIZED (SELECT vid, {scols}, {est()} AS prev_est, "
+            f"harmonic_est + greatest({est()} - prev_est, 0.0) / {float(h)} "
+            f"AS harmonic_est FROM g{h})"
+        )
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f" SELECT vid, round(harmonic_est, 6) AS harmonic_est FROM e{hops}"
+    )
+
+
 WALK_LEN = 4
 
 
@@ -561,6 +616,52 @@ def sql_graph_mirror_pairs():
         "SELECT a.dst AS u, b.dst AS v, count(*) AS shared "
         "FROM sym a JOIN sym b ON a.src = b.src AND a.dst < b.dst "
         "GROUP BY a.dst, b.dst HAVING count(*) >= 40"
+    )
+
+
+LINKPRED_MIN_CN = 3
+
+
+def q_graph_linkpred(spark, sf_dir):
+    """Link-prediction scores (common-neighbors / Jaccard / Adamic-Adar
+    / resource-allocation) for non-adjacent co-purchase pairs with ≥3
+    shared neighbors. The co-purchase graph has triangles, so the
+    existing-edge anti-join is genuinely exercised. Integer columns are
+    exact; the float scores are one-expression-per-term sums whose
+    cross-engine reassociation noise sits far below the round-10
+    parity (the graph_pagerank precedent)."""
+    from parrsb_spark.operators.linkpred import link_prediction_scores
+
+    s = link_prediction_scores(
+        copurchase_edges(spark, sf_dir), min_common=LINKPRED_MIN_CN
+    )
+    return s.select(
+        "u",
+        "v",
+        "cn",
+        F.round("jaccard", 10).alias("jaccard"),
+        F.round("adamic_adar", 10).alias("adamic_adar"),
+        F.round("resource_alloc", 10).alias("resource_alloc"),
+    )
+
+
+def sql_graph_linkpred(min_common: int = LINKPRED_MIN_CN) -> str:
+    return (
+        f"WITH {CP_CTE}, {CP_SYM_CTE}, "
+        "dg AS MATERIALIZED (SELECT src AS vid, count(*) AS deg FROM cpsym GROUP BY src), "
+        "wdg AS (SELECT a.src AS c, a.dst AS u, b.dst AS v "
+        "FROM cpsym a JOIN cpsym b ON a.src = b.src AND a.dst < b.dst), "
+        "sc AS (SELECT w.u, w.v, count(*) AS cn, "
+        "sum(1.0 / ln(CAST(d.deg AS DOUBLE))) AS aa, "
+        "sum(1.0 / CAST(d.deg AS DOUBLE)) AS ra "
+        "FROM wdg w JOIN dg d ON w.c = d.vid "
+        f"GROUP BY w.u, w.v HAVING count(*) >= {min_common}) "
+        "SELECT s.u, s.v, s.cn, "
+        "round(CAST(s.cn AS DOUBLE) / CAST(du.deg + dv.deg - s.cn AS DOUBLE), 10) AS jaccard, "
+        "round(s.aa, 10) AS adamic_adar, "
+        "round(s.ra, 10) AS resource_alloc "
+        "FROM sc s JOIN dg du ON s.u = du.vid JOIN dg dv ON s.v = dv.vid "
+        "WHERE NOT EXISTS (SELECT 1 FROM cpsym e WHERE e.src = s.u AND e.dst = s.v)"
     )
 
 
@@ -1304,8 +1405,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_lcc": q_graph_lcc,
         "graph_modularity": q_graph_modularity,
         "graph_anf": q_graph_anf,
+        "graph_harmonic": q_graph_harmonic,
         "graph_walks": q_graph_walks,
         "graph_mirror_pairs": q_graph_mirror_pairs,
+        "graph_linkpred": q_graph_linkpred,
         "graph_fiedler_qa": q_graph_fiedler_qa,
         "graph_rsb_sizes": q_graph_rsb_sizes,
         "graph_rsb_gate": q_graph_rsb_gate,
@@ -1353,8 +1456,10 @@ def oracle_sql() -> dict[str, str]:
         "graph_lcc": sql_graph_lcc(),
         "graph_modularity": sql_graph_modularity(),
         "graph_anf": sql_graph_anf(),
+        "graph_harmonic": sql_graph_harmonic(),
         "graph_walks": sql_graph_walks(),
         "graph_mirror_pairs": sql_graph_mirror_pairs(),
+        "graph_linkpred": sql_graph_linkpred(),
         # spectral CONTRACT rows (unit norm / orthogonality / sign, the
         # closed-form halving sizes, the genmap --test gate) — each SQL-
         # checkable; the raw eigenvector values are numpy-verified in pytest

@@ -12,6 +12,7 @@ from parrsb_spark.operators.triangles import (
 from parrsb_spark.operators.labelprop import label_propagation
 from parrsb_spark.operators.community import modularity, modularity_by_community
 from parrsb_spark.operators.walks import random_walks
+from parrsb_spark.operators.linkpred import link_prediction_scores
 from parrsb_spark.operators.anf import (
     anf_masks,
     ball_estimates,
@@ -45,6 +46,7 @@ __all__ = [
     "modularity",
     "modularity_by_community",
     "random_walks",
+    "link_prediction_scores",
     "anf_masks",
     "ball_estimates",
     "neighborhood_function",

@@ -26,11 +26,14 @@ def duplicate_out_links(links: DataFrame) -> DataFrame:
     )
 
 
-def mirror_pairs(
-    edges: DataFrame, min_shared: int = 3, chunk_size: int = 1 << 13
-) -> DataFrame:
-    """(u, v, shared) — vertex pairs with ≥ min_shared common neighbors
-    (exact; the shape of ref getVToEMap + face_check).
+def chunked_wedges(sym: DataFrame, chunk_size: int = 1 << 13) -> DataFrame:
+    """(c, cd, u, v) — every wedge u–c–v of the symmetrized graph
+    exactly once (u < v after normalization downstream; here i<j chunk
+    pairs or u<v within-chunk), with the center's degree cd carried
+    along (free — the chunk count already needs it; carrying it avoids
+    a second join keyed on c, which a 10^8-degree hub would funnel).
+    The hub-safe wedge enumerator shared by `mirror_pairs` and link
+    prediction (`operators/linkpred.py`).
 
     Skew design. Every wedge u–c–v must be enumerated exactly once for
     exact common-neighbor counts (a degree-DAG orientation can't drop
@@ -48,13 +51,13 @@ def mirror_pairs(
     volume is Σ d·s ≈ Σ d²/chunk_size, the same order as the wedge
     output itself; the win is DISTRIBUTION, not volume.
     """
-    sym = symmetrize(edges)
     cdeg = sym.groupBy(F.col("src").alias("c")).agg(F.count("*").alias("cd"))
     adj = (
         sym.select(F.col("src").alias("c"), F.col("dst").alias("x"))
         .join(cdeg, "c")
         .select(
             "c",
+            "cd",
             "x",
             F.ceil(F.col("cd") / F.lit(chunk_size)).cast("int").alias("s"),
         )
@@ -62,6 +65,7 @@ def mirror_pairs(
     )
     left = adj.select(
         "c",
+        "cd",
         F.col("x").alias("u"),
         F.col("cx").alias("i"),
         F.explode(F.sequence(F.col("cx"), F.col("s") - 1)).alias("j"),
@@ -72,9 +76,19 @@ def mirror_pairs(
         F.explode(F.sequence(F.lit(0), F.col("cx"))).alias("i"),
         F.col("cx").alias("j"),
     )
-    wedges = left.join(right, ["c", "i", "j"]).filter(
+    return left.join(right, ["c", "i", "j"]).filter(
         (F.col("i") < F.col("j")) | (F.col("u") < F.col("v"))
-    )
+    ).select("c", "cd", "u", "v")
+
+
+def mirror_pairs(
+    edges: DataFrame, min_shared: int = 3, chunk_size: int = 1 << 13
+) -> DataFrame:
+    """(u, v, shared) — vertex pairs with ≥ min_shared common neighbors
+    (exact; the shape of ref getVToEMap + face_check, ref
+    /root/reference/src/con-check.c:197-263). Wedge enumeration and its
+    hub-skew analysis: `chunked_wedges`."""
+    wedges = chunked_wedges(symmetrize(edges), chunk_size)
     return (
         wedges.select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
         .groupBy("u", "v")

@@ -1,0 +1,99 @@
+"""Link prediction over common-neighbor structure — the classic
+webgraph "which edges are missing" kernel (Liben-Nowell & Kleinberg,
+"The Link-Prediction Problem for Social Networks", CIKM'03): for every
+non-adjacent candidate pair (u, v) sharing at least `min_common`
+neighbors, the standard neighborhood scores
+
+- cn             — |N(u) ∩ N(v)|, the raw common-neighbor count
+- jaccard        — cn / |N(u) ∪ N(v)|
+- adamic_adar    — Σ_{c ∈ N(u)∩N(v)} 1 / ln(deg(c))
+- resource_alloc — Σ_{c ∈ N(u)∩N(v)} 1 / deg(c)
+
+This completes the structural-similarity family next to `mirror_pairs`
+(ref /root/reference/src/con-check.c:197-263 — the shared-vertex pair
+census whose Spark shape both reuse): mirror_pairs thresholds the raw
+count as a sanity check, link prediction weights each shared neighbor
+by its selectivity and scores the non-edges.
+
+Scale design:
+- wedge enumeration is `chunked_wedges` (operators/checks.py) — the
+  chunk-salted self-join that splits a degree-d hub's C(d,2) wedge
+  expansion across ⌈d/chunk_size⌉² tasks instead of funneling it into
+  the one task owning join key c; see its docstring for the skew
+  analysis. The center degree rides along from the enumerator, so the
+  AA/RA weights cost ZERO extra joins on the hub-keyed column.
+- the per-pair reduce is count/sum — associative, map-side combined;
+  no window, no funnel.
+- the endpoint-degree attach for jaccard is two equi-joins against the
+  |V|-row degree table; a popular endpoint skews the join key, which
+  AQE's skew-join split handles (join skew is divisible, unlike window
+  keys — the labelprop lesson from round 4).
+- candidate generation is inherently Θ(Σ_c C(deg(c), 2)); at webgraph
+  scale callers bound it the standard way — `min_common` (HAVING
+  pushes below the scored join) and/or degree-capping the input, the
+  same df-cap lever as `dedup.ngram_jaccard_pairs`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from parrsb_spark.functions.spmv import symmetrize
+from parrsb_spark.operators.checks import chunked_wedges
+
+
+def link_prediction_scores(
+    edges: DataFrame,
+    min_common: int = 1,
+    include_existing: bool = False,
+    chunk_size: int = 1 << 13,
+) -> DataFrame:
+    """(u, v, cn, jaccard, adamic_adar, resource_alloc) for candidate
+    pairs u < v with ≥ min_common common neighbors in the symmetrized
+    graph. Existing edges are anti-joined away unless
+    `include_existing` (scoring known edges is the evaluation mode:
+    rank held-out edges against non-edges).
+
+    deg(c) ≥ 2 for every wedge center (it has two distinct neighbors
+    in the wedge), so ln(deg(c)) > 0 — adamic_adar is always finite.
+    """
+    sym = symmetrize(edges)
+    wedges = chunked_wedges(sym, chunk_size)
+    pairs = wedges.select(
+        F.least("u", "v").alias("u"),
+        F.greatest("u", "v").alias("v"),
+        (F.lit(1.0) / F.log(F.col("cd").cast("double"))).alias("aa_w"),
+        (F.lit(1.0) / F.col("cd").cast("double")).alias("ra_w"),
+    )
+    scores = (
+        pairs.groupBy("u", "v")
+        .agg(
+            F.count("*").alias("cn"),
+            F.sum("aa_w").alias("adamic_adar"),
+            F.sum("ra_w").alias("resource_alloc"),
+        )
+        .filter(F.col("cn") >= min_common)
+    )
+    deg = sym.groupBy(F.col("src").alias("vid")).agg(F.count("*").alias("deg"))
+    scores = (
+        scores.join(deg.select(F.col("vid").alias("u"), F.col("deg").alias("du")), "u")
+        .join(deg.select(F.col("vid").alias("v"), F.col("deg").alias("dv")), "v")
+        .select(
+            "u",
+            "v",
+            "cn",
+            (
+                F.col("cn").cast("double")
+                / (F.col("du") + F.col("dv") - F.col("cn")).cast("double")
+            ).alias("jaccard"),
+            "adamic_adar",
+            "resource_alloc",
+        )
+    )
+    if not include_existing:
+        existing = sym.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        ).distinct()
+        scores = scores.join(existing, ["u", "v"], "left_anti")
+    return scores
