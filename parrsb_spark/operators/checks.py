@@ -26,7 +26,11 @@ def duplicate_out_links(links: DataFrame) -> DataFrame:
     )
 
 
-def chunked_wedges(sym: DataFrame, chunk_size: int = 1 << 13) -> DataFrame:
+def chunked_wedges(
+    sym: DataFrame,
+    chunk_size: int = 1 << 13,
+    max_center_degree: int | None = None,
+) -> DataFrame:
     """(c, cd, u, v) — every wedge u–c–v of the symmetrized graph
     exactly once (u < v after normalization downstream; here i<j chunk
     pairs or u<v within-chunk), with the center's degree cd carried
@@ -63,6 +67,11 @@ def chunked_wedges(sym: DataFrame, chunk_size: int = 1 << 13) -> DataFrame:
         )
         .withColumn("cx", F.pmod(F.xxhash64("x"), F.col("s")).cast("int"))
     )
+    if max_center_degree is not None:
+        # df-cap: a center above the cap contributes NO wedges. Applied
+        # on the adjacency BEFORE the explode/self-join, so a capped
+        # hub's Θ(d²) expansion never materializes on either stream.
+        adj = adj.filter(F.col("cd") <= max_center_degree)
     left = adj.select(
         "c",
         "cd",

@@ -29,9 +29,15 @@ Scale design:
   AQE's skew-join split handles (join skew is divisible, unlike window
   keys — the labelprop lesson from round 4).
 - candidate generation is inherently Θ(Σ_c C(deg(c), 2)); at webgraph
-  scale callers bound it the standard way — `min_common` (HAVING
-  pushes below the scored join) and/or degree-capping the input, the
-  same df-cap lever as `dedup.ngram_jaccard_pairs`.
+  scale callers bound it with `max_center_degree` — the same
+  document-frequency cap as `dedup.ngram_jaccard_pairs`: a center
+  above the cap contributes NO wedges. This is the standard semantic
+  trade at scale, not just a cost trade — a 10^6-degree hub (the
+  "google.com" center) is shared by everyone, carries an Adamic-Adar
+  weight of 1/ln(10^6) ≈ 0.07 per pair, and says nothing about which
+  specific pairs should link; dropping it removes Θ(d²) cost and only
+  noise signal. `min_common` then bounds the OUTPUT (the HAVING pushes
+  into the aggregate).
 """
 
 from __future__ import annotations
@@ -48,18 +54,22 @@ def link_prediction_scores(
     min_common: int = 1,
     include_existing: bool = False,
     chunk_size: int = 1 << 13,
+    max_center_degree: int | None = None,
 ) -> DataFrame:
     """(u, v, cn, jaccard, adamic_adar, resource_alloc) for candidate
     pairs u < v with ≥ min_common common neighbors in the symmetrized
     graph. Existing edges are anti-joined away unless
     `include_existing` (scoring known edges is the evaluation mode:
-    rank held-out edges against non-edges).
+    rank held-out edges against non-edges). With `max_center_degree`
+    set, centers above the cap contribute no wedges (cn/jaccard/scores
+    then count only sub-cap common neighbors — the df-cap semantics;
+    endpoint degrees for jaccard stay TRUE degrees).
 
     deg(c) ≥ 2 for every wedge center (it has two distinct neighbors
     in the wedge), so ln(deg(c)) > 0 — adamic_adar is always finite.
     """
     sym = symmetrize(edges)
-    wedges = chunked_wedges(sym, chunk_size)
+    wedges = chunked_wedges(sym, chunk_size, max_center_degree=max_center_degree)
     pairs = wedges.select(
         F.least("u", "v").alias("u"),
         F.greatest("u", "v").alias("v"),

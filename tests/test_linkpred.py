@@ -20,7 +20,7 @@ from parrsb_spark import graphs
 from parrsb_spark.operators.linkpred import link_prediction_scores
 
 
-def _brute(edges, min_common=1, include_existing=False):
+def _brute(edges, min_common=1, include_existing=False, max_center_degree=None):
     adj: dict[int, set[int]] = {}
     for a, b in edges:
         if a == b:
@@ -32,6 +32,8 @@ def _brute(edges, min_common=1, include_existing=False):
     for i, u in enumerate(vs):
         for v in vs[i + 1 :]:
             common = adj[u] & adj[v]
+            if max_center_degree is not None:
+                common = {c for c in common if len(adj[c]) <= max_center_degree}
             cn = len(common)
             if cn < min_common:
                 continue
@@ -39,7 +41,7 @@ def _brute(edges, min_common=1, include_existing=False):
                 continue
             out[(u, v)] = (
                 cn,
-                cn / len(adj[u] | adj[v]),
+                cn / (len(adj[u]) + len(adj[v]) - cn),
                 sum(1.0 / math.log(len(adj[c])) for c in common),
                 sum(1.0 / len(adj[c]) for c in common),
             )
@@ -112,6 +114,29 @@ def test_linkpred_hub_chunking_invariant(spark):
     exp = _brute(edges)
     assert all(cn == 1 for cn, *_ in exp.values())
     assert set(base) == set(exp)
+
+
+def test_linkpred_center_degree_cap(spark):
+    """max_center_degree drops the star hub as a wedge center: the
+    star's only wedges go through the hub, so the capped candidate set
+    is EMPTY; on the power-law graph the capped scores must equal the
+    brute oracle that ignores over-cap common neighbors (endpoint
+    degrees for jaccard stay true degrees)."""
+    star = graphs.to_df(spark, GRAPHS["star"])
+    assert link_prediction_scores(star, max_center_degree=4).count() == 0
+
+    edges = GRAPHS["plaw"]
+    got = _collect(
+        link_prediction_scores(graphs.to_df(spark, edges), max_center_degree=6)
+    )
+    exp = _brute(edges, max_center_degree=6)
+    assert set(got) == set(exp)
+    for pair, (cn, jac, aa, ra) in exp.items():
+        g = got[pair]
+        assert g[0] == cn, pair
+        assert g[1] == pytest.approx(jac, abs=1e-12), pair
+        assert g[2] == pytest.approx(aa, abs=1e-9), pair
+        assert g[3] == pytest.approx(ra, abs=1e-9), pair
 
 
 def test_linkpred_plan_jvm_side_no_window(spark):

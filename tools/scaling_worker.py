@@ -6,6 +6,7 @@ parallelism levels); otherwise edges derive from the sf_dir tables.
 Prints one JSON line."""
 
 import json
+import os
 import sys
 import time
 
@@ -28,6 +29,12 @@ if master.startswith("local-cluster"):
     extra["spark.executorEnv.PYTHONPATH"] = "/root/repo"
 else:
     n = spec
+# Optional fixed shuffle width (the local-cluster branch's rationale,
+# opt-in for local[N]): kernels whose intermediate blow-up exceeds the
+# edge table (linkpred's wedge expansion) need partitions sized to the
+# DATA, not the core count — and a fixed width makes the task graph
+# identical at both parallelism levels (more waves at fewer cores).
+n = os.environ.get("SPARK_GRAFT_SHUFFLE", n)
 
 from parrsb_spark.session import get_spark
 from parrsb_spark import entry_queries as EQ
@@ -171,6 +178,35 @@ elif kernel == "sssp":
     settled = sssp(we, seeds, max_rounds=32).count()
     work = 2 * m
     extra_fields["settled"] = settled
+elif kernel == "linkpred":
+    from pyspark.sql import functions as F
+
+    from parrsb_spark.functions.spmv import symmetrize
+    from parrsb_spark.operators.linkpred import link_prediction_scores
+
+    # df-capped candidate generation (the honest webgraph configuration
+    # — see linkpred.py's cap rationale): cap=32 enumerates 169M wedges
+    # on the 16M-edge graph (duckdb-probed; uncapped would be 2.2e9).
+    # The work unit is the wedge count Σ_{deg(c)≤cap} C(deg,2) — the
+    # rows the pair-scoring aggregate actually consumes; computed from
+    # the degree table BEFORE the timer so the measured wall is the
+    # kernel alone.
+    CAP = 32
+    d = F.col("d")
+    work = int(
+        symmetrize(edges)
+        .groupBy("src")
+        .agg(F.count("*").alias("d"))
+        .filter(d <= CAP)
+        .agg(F.sum(d * (d - 1) / 2))
+        .collect()[0][0]
+    )
+    t0 = time.time()
+    n_pairs = link_prediction_scores(
+        edges, min_common=2, max_center_degree=CAP
+    ).count()
+    extra_fields["scored_pairs"] = n_pairs
+    extra_fields["wedges"] = work
 elif kernel == "extract":
     # compute-bound Arrow-UDF pipeline: synth pages -> extract links ->
     # edges + dense ids (no iterative shuffles; scales with cores)
