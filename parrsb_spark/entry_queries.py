@@ -665,6 +665,125 @@ def sql_graph_linkpred(min_common: int = LINKPRED_MIN_CN) -> str:
     )
 
 
+SCC_CUST_MOD = 2  # keep every 2nd customer → ~750 vertices at sf0.01
+SCC_BLOCK = 16  # independent chain blocks (bounds condensation depth)
+SCC_BACK_DENS = 3  # back-edge density: (h//span) % 10 < 3 → ~30% of vertices
+SCC_BACK_SPAN = 5  # back-edge span: 1 + h % 5 hops (clamped to block start)
+
+
+def scc_digraph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic DIRECTED test graph with rich SCC structure, derived
+    from the customer table: dense-rank the kept custkeys to rid 0..n-1,
+    partition rids into independent blocks of 16, wire a forward chain
+    (rid→rid+1 within block) plus md5-gated back edges
+    (rid → rid-(1+h%5), clamped to the block start, for ~30% of
+    vertices). Back edges open cyclic windows on the chain; overlapping
+    windows merge — at sf0.01: 750 vertices, 928 edges, 304 SCCs,
+    largest 16. Blocks are deliberately NOT cross-linked: the FB-Trim
+    SCC kernel's round count is the condensation's min-vid chain depth,
+    so blocks bound it at 16 while every block resolves concurrently —
+    a single global chain would serialize ANY multi-source SCC
+    algorithm of this family. The bipartite/pages graphs can't serve
+    here (one-way bipartite and copy-model DAGs have only trivial
+    SCCs). Portable to the oracle via row_number + md5 modular
+    arithmetic (functions/hashing.py)."""
+    from parrsb_spark.functions.hashing import md5_long_col
+    from parrsb_spark.functions.ids import dense_ids
+
+    c = _load(spark, sf_dir, "customer").filter(F.col("c_custkey") % SCC_CUST_MOD == 0)
+    ids = dense_ids(c.select("c_custkey"), key_col="c_custkey", out_col="rid1")
+    cust = ids.select(
+        (F.col("rid1") - 1).cast("bigint").alias("rid"),
+        md5_long_col(F.col("c_custkey").cast("string")).alias("h"),
+    ).cache()
+    n = cust.count()  # one setup scalar (the oracle's count(*) twin)
+    fwd1 = cust.filter(
+        (F.col("rid") + 1 < n) & ((F.col("rid") + 1) % SCC_BLOCK != 0)
+    ).select(F.col("rid").alias("src"), (F.col("rid") + 1).alias("dst"))
+    back = (
+        cust.filter(
+            (F.expr(f"h div {SCC_BACK_SPAN}") % 10 < SCC_BACK_DENS)
+            & (F.col("rid") % SCC_BLOCK != 0)
+        ).select(
+            F.col("rid").alias("src"),
+            F.greatest(
+                F.col("rid") - (F.lit(1) + F.col("h") % SCC_BACK_SPAN),
+                F.expr(f"(rid div {SCC_BLOCK}) * {SCC_BLOCK}"),
+            ).alias("dst"),
+        )
+    )
+    return fwd1.union(back).distinct()
+
+
+# shared oracle CTE text: the same digraph + its transitive closure +
+# per-vertex SCC ids (scc(v) = min u with v→u AND u→v, else v itself).
+_SCC_CTES = (
+    "cust AS MATERIALIZED ("
+    "  SELECT row_number() OVER (ORDER BY c_custkey) - 1 AS rid,"
+    "         ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT AS h"
+    f"  FROM customer WHERE c_custkey % {SCC_CUST_MOD} = 0), "
+    "nn AS (SELECT count(*) AS n FROM cust), "
+    "de AS MATERIALIZED ("
+    "  SELECT rid AS src, rid + 1 AS dst FROM cust"
+    f"  WHERE rid + 1 < (SELECT n FROM nn) AND (rid + 1) % {SCC_BLOCK} != 0"
+    f"  UNION SELECT rid, greatest(rid - (1 + h % {SCC_BACK_SPAN}), (rid // {SCC_BLOCK}) * {SCC_BLOCK}) FROM cust"
+    f"  WHERE (h // {SCC_BACK_SPAN}) % 10 < {SCC_BACK_DENS} AND rid % {SCC_BLOCK} != 0), "
+    "dverts AS MATERIALIZED (SELECT rid AS vid FROM cust), "
+    "reach(a, b) AS ("
+    "  SELECT src, dst FROM de"
+    "  UNION"
+    "  SELECT r.a, e.dst FROM reach r JOIN de e ON r.b = e.src), "
+    "sccm AS MATERIALIZED ("
+    "  SELECT v.vid,"
+    "         least(v.vid, coalesce(min(CASE WHEN r2.a IS NOT NULL THEN r1.b END), v.vid)) AS scc"
+    "  FROM dverts v"
+    "  LEFT JOIN reach r1 ON r1.a = v.vid"
+    "  LEFT JOIN reach r2 ON r2.a = r1.b AND r2.b = v.vid"
+    "  GROUP BY v.vid)"
+)
+
+
+def q_graph_scc(spark, sf_dir):
+    """Strongly connected components of the directed chain-digraph —
+    exact per-vertex SCC ids (min vid of the component)."""
+    from parrsb_spark.operators.scc import strongly_connected_components
+
+    e = scc_digraph_edges(spark, sf_dir)
+    return strongly_connected_components(e).select("vid", "scc")
+
+
+def sql_graph_scc() -> str:
+    return f"WITH RECURSIVE {_SCC_CTES} SELECT vid, scc FROM sccm"
+
+
+def q_graph_bowtie(spark, sf_dir):
+    """Bowtie decomposition (Broder et al., WWW 2000) of the directed
+    chain-digraph relative to its largest SCC: per-vertex class in
+    {core, in, out, other}."""
+    from parrsb_spark.operators.scc import bowtie_classes
+
+    e = scc_digraph_edges(spark, sf_dir)
+    return bowtie_classes(e).select("vid", "cls")
+
+
+def sql_graph_bowtie() -> str:
+    return (
+        f"WITH RECURSIVE {_SCC_CTES}, "
+        "top AS (SELECT scc FROM (SELECT scc, count(*) AS c FROM sccm GROUP BY scc "
+        "ORDER BY c DESC, scc ASC LIMIT 1)), "
+        "core AS MATERIALIZED (SELECT vid FROM sccm WHERE scc = (SELECT scc FROM top)), "
+        "fwd AS (SELECT vid FROM core UNION "
+        "        SELECT r.b FROM reach r JOIN core c ON r.a = c.vid), "
+        "bwd AS (SELECT vid FROM core UNION "
+        "        SELECT r.a FROM reach r JOIN core c ON r.b = c.vid) "
+        "SELECT v.vid, CASE "
+        "WHEN EXISTS (SELECT 1 FROM core c WHERE c.vid = v.vid) THEN 'core' "
+        "WHEN EXISTS (SELECT 1 FROM bwd b WHERE b.vid = v.vid) THEN 'in' "
+        "WHEN EXISTS (SELECT 1 FROM fwd f WHERE f.vid = v.vid) THEN 'out' "
+        "ELSE 'other' END AS cls FROM dverts v"
+    )
+
+
 # spectral queries. The eigensolver's raw per-vertex values are not
 # SQL-expressible (pytest verifies them against numpy at 1e-6 —
 # tests/test_spectral.py; entry() exercises the raw outputs end-to-end),
@@ -1409,6 +1528,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_walks": q_graph_walks,
         "graph_mirror_pairs": q_graph_mirror_pairs,
         "graph_linkpred": q_graph_linkpred,
+        "graph_scc": q_graph_scc,
+        "graph_bowtie": q_graph_bowtie,
         "graph_fiedler_qa": q_graph_fiedler_qa,
         "graph_rsb_sizes": q_graph_rsb_sizes,
         "graph_rsb_gate": q_graph_rsb_gate,
@@ -1460,6 +1581,8 @@ def oracle_sql() -> dict[str, str]:
         "graph_walks": sql_graph_walks(),
         "graph_mirror_pairs": sql_graph_mirror_pairs(),
         "graph_linkpred": sql_graph_linkpred(),
+        "graph_scc": sql_graph_scc(),
+        "graph_bowtie": sql_graph_bowtie(),
         # spectral CONTRACT rows (unit norm / orthogonality / sign, the
         # closed-form halving sizes, the genmap --test gate) — each SQL-
         # checkable; the raw eigenvector values are numpy-verified in pytest

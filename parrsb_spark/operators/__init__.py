@@ -4,6 +4,7 @@ from parrsb_spark.operators.kcore import kcore
 from parrsb_spark.operators.bfs import bfs_distances
 from parrsb_spark.operators.sssp import sssp
 from parrsb_spark.operators.components import connected_components, cc_bfs_single_seed
+from parrsb_spark.operators.scc import bowtie_classes, strongly_connected_components
 from parrsb_spark.operators.triangles import (
     clustering_coefficients,
     triangle_counts,
@@ -38,6 +39,8 @@ __all__ = [
     "bfs_distances",
     "sssp",
     "connected_components",
+    "strongly_connected_components",
+    "bowtie_classes",
     "cc_bfs_single_seed",
     "triangle_counts",
     "clustering_coefficients",
