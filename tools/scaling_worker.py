@@ -207,6 +207,32 @@ elif kernel == "linkpred":
     ).count()
     extra_fields["scored_pairs"] = n_pairs
     extra_fields["wedges"] = work
+elif kernel == "scc":
+    from pyspark.sql import functions as F
+
+    from parrsb_spark.operators.scc import strongly_connected_components
+
+    # random-orientation webgraph: hash-gate each undirected edge's
+    # direction so the digraph has the published bowtie shape (one giant
+    # SCC + DAG-ish IN/OUT shells + tendrils) instead of the copy-model
+    # DAG's all-singletons. Orientation hash needs no oracle twin here
+    # (bench row, not a correctness row), so plain xxhash64 is fine.
+    de = edges.select(
+        F.when(F.xxhash64("src", "dst") % 2 == 0, F.col("src"))
+        .otherwise(F.col("dst"))
+        .alias("s"),
+        F.when(F.xxhash64("src", "dst") % 2 == 0, F.col("dst"))
+        .otherwise(F.col("src"))
+        .alias("d"),
+    ).select(F.col("s").alias("src"), F.col("d").alias("dst")).cache()
+    de.count()
+    t0 = time.time()
+    labels = strongly_connected_components(de, local_threshold=200_000)
+    n_scc = labels.select("scc").distinct().count()
+    # FB-Trim touches each edge a bounded number of times per phase; use
+    # the BFS convention (2m) so rows are comparable to cc/bfs
+    work = 2 * m
+    extra_fields["n_scc"] = n_scc
 elif kernel == "extract":
     # compute-bound Arrow-UDF pipeline: synth pages -> extract links ->
     # edges + dense ids (no iterative shuffles; scales with cores)
