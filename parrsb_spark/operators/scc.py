@@ -239,7 +239,8 @@ def strongly_connected_components(
                     f"scc: {remaining} vertices unresolved after {max_rounds} rounds"
                 )
     e_all.unpersist()
-    assert done is not None
+    if done is None:  # empty vertex set
+        return verts.withColumn("scc", F.col("vid"))
     return done
 
 
