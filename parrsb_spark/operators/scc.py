@@ -164,6 +164,11 @@ def strongly_connected_components(
                 active = hard_truncate(active.join(trivial, "vid", "left_anti"))
             if active.isEmpty():
                 break
+            # pin the post-trim edge set hash-partitioned on src and cached:
+            # every forward-coloring iteration joins on src, so the edge-side
+            # exchange is paid once per outer round, not once per iteration
+            # (hard_truncate drops partitioning metadata — see session.py)
+            eact = eact.repartition(n_shuffle, "src").cache()
 
             # --- phase-3 escape: bounded residue → exact driver-local Tarjan
             if local_threshold and eact.count() <= local_threshold:
@@ -176,6 +181,7 @@ def strongly_connected_components(
                 )
                 # vertices of the residue with no surviving edge are
                 # already trimmed above, so `pairs` covers all of active
+                eact.unpersist()
                 break
 
             # --- 2. forward min-vid coloring over the directed active edges
@@ -230,6 +236,7 @@ def strongly_connected_components(
                 frontier = preds
             emit(visited.select("vid", F.col("color").alias("scc")))
             active = hard_truncate(active.join(visited, "vid", "left_anti"))
+            eact.unpersist()
             if active.isEmpty():
                 break
         else:
