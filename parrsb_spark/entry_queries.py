@@ -1509,6 +1509,7 @@ def sql_mm_image_meta():
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pages_edges": q_pages_edges,
+        "pages_host_graph": q_pages_host_graph,
         "graph_edges": q_graph_edges,
         "graph_degree": q_graph_degree,
         "graph_pagerank": q_graph_pagerank,
@@ -1562,6 +1563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "pages_edges": sql_pages_edges(),
+        "pages_host_graph": sql_pages_host_graph(),
         "graph_edges": sql_graph_edges(),
         "graph_degree": sql_graph_degree(),
         "graph_pagerank": sql_graph_pagerank(),
@@ -1645,6 +1647,34 @@ def sql_pages_edges():
             pairs.add((vid[page_url(i)], vid[t]))
     vals = ", ".join(f"({a}, {b})" for a, b in sorted(pairs))
     return f"SELECT * FROM (VALUES {vals}) t(src, dst)"
+
+
+def q_pages_host_graph(spark, sf_dir):
+    """Host-level contraction of the page link graph (CommonCrawl-style
+    webgraph rollup): hosts as supernodes, weight = page-level link
+    count between them (duplicates and intra-host self-links counted —
+    multigraph semantics, matching the Python enumerator)."""
+    from parrsb_spark.sources.edges import host_edges_from_pages
+    from parrsb_spark.sources.pages import synth_pages
+
+    pages = synth_pages(spark, PAGES_N, m=PAGES_M, seed=PAGES_SEED)
+    return host_edges_from_pages(pages).select("src_host", "dst_host", "weight")
+
+
+def sql_pages_host_graph():
+    from collections import Counter
+
+    from parrsb_spark.sources.pages import page_links, page_url
+
+    def host(u: str) -> str:
+        return u.split("://", 1)[1].split("/", 1)[0]
+
+    w: Counter = Counter()
+    for i in range(PAGES_N):
+        for t in page_links(i, PAGES_N, PAGES_M, PAGES_SEED):
+            w[(host(page_url(i)), host(t))] += 1
+    vals = ", ".join(f"('{a}', '{b}', {c})" for (a, b), c in sorted(w.items()))
+    return f"SELECT * FROM (VALUES {vals}) t(src_host, dst_host, weight)"
 
 
 def q_graph_cc_dense(spark, sf_dir):

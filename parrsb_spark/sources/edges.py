@@ -14,7 +14,7 @@ scale; AQE splits skewed hub URLs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from parrsb_spark.functions.ids import dense_ids
@@ -51,6 +51,30 @@ def edges_from_pages(pages: DataFrame, dedup: bool = True) -> tuple[DataFrame, D
     if dedup:
         e = e.distinct()
     return e, vertices
+
+
+def host_of_url(col: Column) -> Column:
+    """Host part of an URL column (scheme://HOST/...), JVM-side regexp."""
+    return F.regexp_extract(col, r"^[a-z]+://([^/]+)", 1)
+
+
+def host_edges_from_pages(pages: DataFrame) -> DataFrame:
+    """(src_host, dst_host, weight) — host-level contraction of the page
+    link graph (the CommonCrawl webgraph rollup: hosts as supernodes,
+    weight = number of page-level links between them, intra-host links
+    kept as self-edges). One explode + one map-side-combinable count
+    aggregate; the host key space is orders smaller than the URL space,
+    so downstream host-level kernels (PageRank etc.) run on a contracted
+    graph — the C7 min-label contraction's weighted sibling."""
+    links = links_from_pages(pages)
+    return (
+        links.select(
+            host_of_url(F.col("src_url")).alias("src_host"),
+            host_of_url(F.col("dst_url")).alias("dst_host"),
+        )
+        .groupBy("src_host", "dst_host")
+        .agg(F.count("*").alias("weight"))
+    )
 
 
 def vertices_from_edges(edges: DataFrame) -> DataFrame:

@@ -139,3 +139,27 @@ def test_fuzzy_vertex_ids_matches_union_find(spark):
 
     exp = oracle(pts, tol)
     assert got == exp
+
+
+def test_host_graph_matches_python_enumeration(spark):
+    """Host-level rollup: Spark explode+regexp+count vs the pure-Python
+    link generator, multigraph semantics (duplicate links counted)."""
+    from collections import Counter
+
+    from parrsb_spark.sources.edges import host_edges_from_pages
+    from parrsb_spark.sources.pages import page_links, page_url, synth_pages
+
+    N, M, SEED = 120, 3, 7
+    got = {
+        (r["src_host"], r["dst_host"]): r["weight"]
+        for r in host_edges_from_pages(synth_pages(spark, N, m=M, seed=SEED)).collect()
+    }
+
+    def host(u):
+        return u.split("://", 1)[1].split("/", 1)[0]
+
+    want = Counter()
+    for i in range(N):
+        for t in page_links(i, N, M, SEED):
+            want[(host(page_url(i)), host(t))] += 1
+    assert got == dict(want)
