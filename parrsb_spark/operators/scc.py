@@ -143,15 +143,19 @@ def strongly_connected_components(
         nonlocal done
         done = piece if done is None else done.union(piece)
 
+    e_cur = e_all  # shrinks with active: each filter starts from the
+    # previous survivor set, so trim-iteration cost tracks the residue,
+    # not the full input
     with iterative_conf(spark, disable_aqe=False):
         for _ in range(max_rounds):
             # --- 1. trim to fixpoint: no in-edge or no out-edge ⇒ singleton
             while True:
                 eact = (
-                    e_all.join(active.withColumnRenamed("vid", "src"), "src", "left_semi")
+                    e_cur.join(active.withColumnRenamed("vid", "src"), "src", "left_semi")
                     .join(active.withColumnRenamed("vid", "dst"), "dst", "left_semi")
                 )
                 eact = hard_truncate(eact.select("src", "dst"))
+                e_cur = eact
                 both = (
                     eact.select(F.col("src").alias("vid"))
                     .intersect(eact.select(F.col("dst").alias("vid")))
@@ -212,6 +216,10 @@ def strongly_connected_components(
                     break
 
             # --- 3. backward multi-seed sweep from every root, same color only
+            # the converged color table is joined once per backward hop;
+            # pin it hash-partitioned on vid so each hop pays only the
+            # candidate-side exchange
+            color = color.repartition(n_shuffle, "vid").cache()
             visited = hard_truncate(
                 color.filter(F.col("color") == F.col("vid")).select("vid", "color")
             )
@@ -237,6 +245,7 @@ def strongly_connected_components(
             emit(visited.select("vid", F.col("color").alias("scc")))
             active = hard_truncate(active.join(visited, "vid", "left_anti"))
             eact.unpersist()
+            color.unpersist()
             if active.isEmpty():
                 break
         else:
