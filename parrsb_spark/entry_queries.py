@@ -756,6 +756,33 @@ def sql_graph_scc() -> str:
     return f"WITH RECURSIVE {_SCC_CTES} SELECT vid, scc FROM sccm"
 
 
+def q_graph_condensation(spark, sf_dir):
+    """Condensation-DAG topological layering of the chain-digraph:
+    per-vertex (scc, level) with level = longest path from any source
+    SCC — the webgraph stratification depth."""
+    from parrsb_spark.operators.scc import condensation_levels
+
+    e = scc_digraph_edges(spark, sf_dir)
+    return condensation_levels(e).select("vid", "scc", "level")
+
+
+def sql_graph_condensation() -> str:
+    return (
+        f"WITH RECURSIVE {_SCC_CTES}, "
+        "cde AS MATERIALIZED (SELECT DISTINCT a.scc AS src, b.scc AS dst "
+        "FROM de e JOIN sccm a ON e.src = a.vid JOIN sccm b ON e.dst = b.vid "
+        "WHERE a.scc != b.scc), "
+        "paths(a, b, d) AS ("
+        "  SELECT src, dst, 1 FROM cde"
+        "  UNION"
+        "  SELECT p.a, e.dst, p.d + 1 FROM paths p JOIN cde e ON p.b = e.src), "
+        "lvl AS (SELECT s.scc, coalesce(max(p.d), 0) AS level "
+        "FROM (SELECT DISTINCT scc FROM sccm) s "
+        "LEFT JOIN paths p ON p.b = s.scc GROUP BY s.scc) "
+        "SELECT m.vid, m.scc, l.level FROM sccm m JOIN lvl l ON m.scc = l.scc"
+    )
+
+
 def q_graph_bowtie(spark, sf_dir):
     """Bowtie decomposition (Broder et al., WWW 2000) of the directed
     chain-digraph relative to its largest SCC: per-vertex class in
@@ -1530,6 +1557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_mirror_pairs": q_graph_mirror_pairs,
         "graph_linkpred": q_graph_linkpred,
         "graph_scc": q_graph_scc,
+        "graph_condensation": q_graph_condensation,
         "graph_bowtie": q_graph_bowtie,
         "graph_fiedler_qa": q_graph_fiedler_qa,
         "graph_rsb_sizes": q_graph_rsb_sizes,
@@ -1584,6 +1612,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_mirror_pairs": sql_graph_mirror_pairs(),
         "graph_linkpred": sql_graph_linkpred(),
         "graph_scc": sql_graph_scc(),
+        "graph_condensation": sql_graph_condensation(),
         "graph_bowtie": sql_graph_bowtie(),
         # spectral CONTRACT rows (unit norm / orthogonality / sign, the
         # closed-form halving sizes, the genmap --test gate) — each SQL-

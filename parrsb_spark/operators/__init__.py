@@ -4,7 +4,7 @@ from parrsb_spark.operators.kcore import kcore
 from parrsb_spark.operators.bfs import bfs_distances
 from parrsb_spark.operators.sssp import sssp
 from parrsb_spark.operators.components import connected_components, cc_bfs_single_seed
-from parrsb_spark.operators.scc import bowtie_classes, strongly_connected_components
+from parrsb_spark.operators.scc import bowtie_classes, condensation_levels, strongly_connected_components
 from parrsb_spark.operators.triangles import (
     clustering_coefficients,
     triangle_counts,
@@ -41,6 +41,7 @@ __all__ = [
     "connected_components",
     "strongly_connected_components",
     "bowtie_classes",
+    "condensation_levels",
     "cc_bfs_single_seed",
     "triangle_counts",
     "clustering_coefficients",

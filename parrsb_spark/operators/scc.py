@@ -260,6 +260,58 @@ def strongly_connected_components(
     return done
 
 
+def condensation_levels(
+    edges: DataFrame,
+    scc: DataFrame | None = None,
+    max_levels: int = 10_000,
+) -> DataFrame:
+    """Topological layering of the condensation DAG: returns
+    (vid, scc, level) with level = longest path (in edges) from any
+    source SCC to the vertex's SCC — the webgraph stratification depth.
+
+    Composition pipeline: SCC labels → condensation edges (two keyed
+    joins + distinct) → synchronous source-peel (each wave removes every
+    current in-degree-0 condensation node; a node leaves at
+    1 + max(level of predecessors), i.e. its longest-path depth). Rounds
+    = condensation depth; each round is two anti/semi-joins on the
+    SHRINKING condensation — orders smaller than the vertex set."""
+    spark = edges.sparkSession
+    labels = (scc if scc is not None else strongly_connected_components(edges)).cache()
+    e = edges.filter(F.col("src") != F.col("dst")).select("src", "dst").distinct()
+    ce = (
+        e.join(labels.select(F.col("vid").alias("src"), F.col("scc").alias("_sa")), "src")
+        .join(labels.select(F.col("vid").alias("dst"), F.col("scc").alias("_sb")), "dst")
+        .filter(F.col("_sa") != F.col("_sb"))
+        .select(F.col("_sa").alias("csrc"), F.col("_sb").alias("cdst"))
+        .distinct()
+    )
+    ce = hard_truncate(ce)
+    remaining = hard_truncate(labels.select("scc").distinct().withColumnRenamed("scc", "node"))
+    out: DataFrame | None = None
+    lvl = 0
+    with iterative_conf(spark, disable_aqe=False):
+        while lvl < max_levels:
+            if remaining.isEmpty():
+                break
+            dsts = ce.select(F.col("cdst").alias("node")).distinct()
+            roots = hard_truncate(remaining.join(dsts, "node", "left_anti"))
+            piece = roots.select(F.col("node").alias("scc"), F.lit(lvl).alias("level"))
+            out = piece if out is None else out.union(piece)
+            remaining = hard_truncate(remaining.join(roots, "node", "left_anti"))
+            ce = hard_truncate(
+                ce.join(remaining.withColumnRenamed("node", "csrc"), "csrc", "left_semi")
+            )
+            lvl += 1
+        else:
+            raise RuntimeError(f"condensation_levels: not a DAG within {max_levels} levels")
+    levels = out if out is not None else labels.select("scc").distinct().withColumn(
+        "level", F.lit(0)
+    )
+    res = labels.join(levels, "scc").select("vid", "scc", "level")
+    labels.unpersist()
+    return res
+
+
 def bowtie_classes(
     edges: DataFrame,
     scc: DataFrame | None = None,

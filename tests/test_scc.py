@@ -125,3 +125,30 @@ def test_scc_one_coloring_round_plan_no_python_no_window(spark):
     plan = step._jdf.queryExecution().executedPlan().toString()
     for bad in ("CartesianProduct", "BroadcastNestedLoopJoin", "EvalPython", "Window"):
         assert bad not in plan, f"{bad} in scc coloring-round plan"
+
+
+def test_condensation_levels_handmade(spark):
+    # condensation: {1,2,3} -> {4,5} -> {6}; {7} -> {8}
+    # levels: scc1=0, scc4=1, scc6=2, scc7=0, scc8=1
+    from parrsb_spark.operators.scc import condensation_levels
+
+    got = {
+        r["vid"]: (r["scc"], r["level"])
+        for r in condensation_levels(graphs.to_df(spark, HANDMADE)).collect()
+    }
+    assert got == {
+        1: (1, 0), 2: (1, 0), 3: (1, 0),
+        4: (4, 1), 5: (4, 1),
+        6: (6, 2),
+        7: (7, 0), 8: (8, 1),
+    }
+
+
+def test_condensation_levels_longest_path_semantics(spark):
+    # diamond with a long arm: 1->2->3->4 and 1->4 — level(4) must be
+    # the LONGEST path (3), not the shortest (1)
+    from parrsb_spark.operators.scc import condensation_levels
+
+    edges = [(1, 2), (2, 3), (3, 4), (1, 4)]
+    got = {r["vid"]: r["level"] for r in condensation_levels(graphs.to_df(spark, edges)).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}
