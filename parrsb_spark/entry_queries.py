@@ -627,9 +627,12 @@ def q_graph_linkpred(spark, sf_dir):
     / resource-allocation) for non-adjacent co-purchase pairs with ≥3
     shared neighbors. The co-purchase graph has triangles, so the
     existing-edge anti-join is genuinely exercised. Integer columns are
-    exact; the float scores are one-expression-per-term sums whose
-    cross-engine reassociation noise sits far below the round-10
-    parity (the graph_pagerank precedent)."""
+    exact; the float scores are ORDERED folds over (degree, count)
+    terms on BOTH engines (ascending degree, same init, same term
+    expression), so they agree bitwise and round-10 is safe. A plain
+    sum was not: double addition follows shuffle arrival order, and
+    one of three otherwise-identical boards flipped a hash at a
+    round-10 boundary — see operators/linkpred.py."""
     from parrsb_spark.operators.linkpred import link_prediction_scores
 
     s = link_prediction_scores(
@@ -651,11 +654,12 @@ def sql_graph_linkpred(min_common: int = LINKPRED_MIN_CN) -> str:
         "dg AS MATERIALIZED (SELECT src AS vid, count(*) AS deg FROM cpsym GROUP BY src), "
         "wdg AS (SELECT a.src AS c, a.dst AS u, b.dst AS v "
         "FROM cpsym a JOIN cpsym b ON a.src = b.src AND a.dst < b.dst), "
-        "sc AS (SELECT w.u, w.v, count(*) AS cn, "
-        "sum(1.0 / ln(CAST(d.deg AS DOUBLE))) AS aa, "
-        "sum(1.0 / CAST(d.deg AS DOUBLE)) AS ra "
-        "FROM wdg w JOIN dg d ON w.c = d.vid "
-        f"GROUP BY w.u, w.v HAVING count(*) >= {min_common}) "
+        "tg AS (SELECT w.u, w.v, d.deg AS d, count(*) AS k "
+        "FROM wdg w JOIN dg d ON w.c = d.vid GROUP BY w.u, w.v, d.deg), "
+        "sc AS (SELECT u, v, CAST(sum(k) AS BIGINT) AS cn, "
+        "list_reduce(list_prepend(0.0, list(CAST(k AS DOUBLE) / ln(CAST(d AS DOUBLE)) ORDER BY d)), (x, y) -> x + y) AS aa, "
+        "list_reduce(list_prepend(0.0, list(CAST(k AS DOUBLE) / CAST(d AS DOUBLE) ORDER BY d)), (x, y) -> x + y) AS ra "
+        f"FROM tg GROUP BY u, v HAVING sum(k) >= {min_common}) "
         "SELECT s.u, s.v, s.cn, "
         "round(CAST(s.cn AS DOUBLE) / CAST(du.deg + dv.deg - s.cn AS DOUBLE), 10) AS jaccard, "
         "round(s.aa, 10) AS adamic_adar, "

@@ -22,8 +22,19 @@ Scale design:
   the one task owning join key c; see its docstring for the skew
   analysis. The center degree rides along from the enumerator, so the
   AA/RA weights cost ZERO extra joins on the hub-keyed column.
-- the per-pair reduce is count/sum — associative, map-side combined;
-  no window, no funnel.
+- the per-pair reduce is a TWO-LEVEL aggregate: (u, v, cd) → exact
+  integer counts (map-side combined), then per (u, v) an ordered fold
+  over the distinct center degrees, summing k/ln(d) and k/d in
+  ascending-d order. Integer counts commute exactly, and the float
+  fold runs in ONE fixed order, so the scores are bitwise identical
+  run-to-run regardless of partitioning/shuffle arrival — a plain
+  F.sum of per-wedge double terms is not (double addition is not
+  associative; the reduce order follows shuffle arrival). That
+  nondeterminism flipped a round-10-digit oracle hash exactly once in
+  three otherwise-identical runs at sf0.01 before this design; the
+  fixed-order fold also makes resume/replay comparisons exact. The
+  fold array holds ≤ #distinct degrees among the pair's common
+  neighbors — far smaller than cn itself on skewed graphs.
 - the endpoint-degree attach for jaccard is two equi-joins against the
   |V|-row degree table; a popular endpoint skews the join key, which
   AQE's skew-join split handles (join skew is divisible, unlike window
@@ -73,17 +84,35 @@ def link_prediction_scores(
     pairs = wedges.select(
         F.least("u", "v").alias("u"),
         F.greatest("u", "v").alias("v"),
-        (F.lit(1.0) / F.log(F.col("cd").cast("double"))).alias("aa_w"),
-        (F.lit(1.0) / F.col("cd").cast("double")).alias("ra_w"),
+        F.col("cd"),
     )
+    # Level 1: exact integer pre-reduce per (pair, center degree).
+    terms = pairs.groupBy("u", "v", "cd").agg(F.count("*").alias("k"))
+    # Level 2: cn is an exact integer sum; the float scores fold the
+    # (cd, k) terms in ascending-cd order — deterministic, see module
+    # docstring. cd values are distinct within a group, so sort_array
+    # on struct(cd, k) is a total order.
+    fold = F.sort_array(F.collect_list(F.struct("cd", "k")))
     scores = (
-        pairs.groupBy("u", "v")
-        .agg(
-            F.count("*").alias("cn"),
-            F.sum("aa_w").alias("adamic_adar"),
-            F.sum("ra_w").alias("resource_alloc"),
-        )
+        terms.groupBy("u", "v")
+        .agg(F.sum("k").alias("cn"), fold.alias("tk"))
         .filter(F.col("cn") >= min_common)
+        .select(
+            "u",
+            "v",
+            "cn",
+            F.aggregate(
+                "tk",
+                F.lit(0.0),
+                lambda acc, t: acc
+                + t["k"].cast("double") / F.log(t["cd"].cast("double")),
+            ).alias("adamic_adar"),
+            F.aggregate(
+                "tk",
+                F.lit(0.0),
+                lambda acc, t: acc + t["k"].cast("double") / t["cd"].cast("double"),
+            ).alias("resource_alloc"),
+        )
     )
     deg = sym.groupBy(F.col("src").alias("vid")).agg(F.count("*").alias("deg"))
     scores = (

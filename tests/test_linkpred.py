@@ -145,3 +145,33 @@ def test_linkpred_plan_jvm_side_no_window(spark):
     plan = _plan(link_prediction_scores(graphs.to_df(spark, GRAPHS["plaw"])))
     for bad in BAD_JOINS + ("EvalPython", "Window"):
         assert bad not in plan, f"{bad} in linkpred plan"
+
+
+def test_linkpred_scores_bitwise_deterministic(spark):
+    """The float scores must be BITWISE identical across different
+    input partitionings (the round-5 flake: a plain F.sum of double
+    terms follows shuffle arrival order, and one of three identical
+    sf0.01 boards flipped an oracle hash at a rounding boundary; the
+    ordered (cd, k) fold removes the order dependence entirely)."""
+    edges = graphs.powerlaw(60, m=4, seed=13)
+    base = spark.createDataFrame(edges, "src long, dst long")
+    runs = []
+    for parts, shuffled in [(1, False), (7, True), (32, True)]:
+        df = base
+        if shuffled:
+            df = df.orderBy("dst", "src")  # different row order into the agg
+        df = df.repartition(parts)
+        got = {
+            (r["u"], r["v"]): (r["cn"], r["jaccard"], r["adamic_adar"], r["resource_alloc"])
+            for r in link_prediction_scores(df, min_common=1).collect()
+        }
+        runs.append(got)
+    assert runs[0] == runs[1] == runs[2]  # exact ==, no tolerance
+    # and still correct vs the brute oracle (tolerance-free integers,
+    # allclose floats)
+    brute = _brute(edges)
+    assert set(runs[0]) == set(brute)
+    for k, (cn, ja, aa, ra) in brute.items():
+        g = runs[0][k]
+        assert g[0] == cn
+        assert abs(g[1] - ja) < 1e-12 and abs(g[2] - aa) < 1e-12 and abs(g[3] - ra) < 1e-12
