@@ -28,6 +28,13 @@ from parrsb_spark.functions.hashing import (
     MOD_X,
 )
 
+# Iterative float kernels (pagerank/ppr/hits) gate at round-8: their
+# per-vertex sums reduce in shuffle-arrival order on Spark and CTE-eval
+# order on DuckDB, so the engines agree only up to reassociation noise
+# (~1e-14). 8 digits keeps the gate 100x stricter than the 1e-6
+# contract while making a boundary flip ~1e-6-probable per board
+# instead of the round-10 near-miss that bit graph_linkpred (whose fix
+# was exact ordered folds — impossible for a recursive-CTE oracle).
 DAMPING = 0.85
 PR_ITERS = 8
 CC_ITERS = 16
@@ -133,7 +140,7 @@ def q_graph_pagerank(spark, sf_dir):
 
     e = bipartite_edges(spark, sf_dir)
     pr = pagerank(e, damping=DAMPING, fixed_iters=PR_ITERS)
-    return pr.select("vid", F.round("pr", 10).alias("pr_r"))
+    return pr.select("vid", F.round("pr", 8).alias("pr_r"))
 
 
 def sql_graph_pagerank(iters: int = PR_ITERS) -> str:
@@ -158,7 +165,7 @@ def sql_graph_pagerank(iters: int = PR_ITERS) -> str:
             f"GROUP BY e.dst) g ON v.vid = g.vid)"
         )
     return (
-        "WITH " + ", ".join(parts) + f" SELECT vid, round(pr, 10) AS pr_r FROM pr{iters}"
+        "WITH " + ", ".join(parts) + f" SELECT vid, round(pr, 8) AS pr_r FROM pr{iters}"
     )
 
 
@@ -168,7 +175,7 @@ def q_graph_hits(spark, sf_dir):
     e = bipartite_edges(spark, sf_dir)
     h = hits(e, n_iter=HITS_ITERS)
     return h.select(
-        "vid", F.round("hub", 10).alias("hub_r"), F.round("auth", 10).alias("auth_r")
+        "vid", F.round("hub", 8).alias("hub_r"), F.round("auth", 8).alias("auth_r")
     )
 
 
@@ -199,7 +206,7 @@ def sql_graph_hits(iters: int = HITS_ITERS) -> str:
     return (
         "WITH "
         + ", ".join(parts)
-        + f" SELECT h.vid, round(h.h, 10) AS hub_r, round(a.a, 10) AS auth_r "
+        + f" SELECT h.vid, round(h.h, 8) AS hub_r, round(a.a, 8) AS auth_r "
         f"FROM h{iters} h JOIN a{iters} a ON h.vid = a.vid"
     )
 
@@ -211,7 +218,7 @@ def q_graph_ppr(spark, sf_dir):
     e = bipartite_edges(spark, sf_dir)
     seeds = vertices_from_edges(e).orderBy("vid").limit(PPR_N_SEEDS)
     pr = personalized_pagerank(e, seeds, damping=DAMPING, fixed_iters=PPR_ITERS)
-    return pr.select("vid", F.round("pr", 10).alias("pr_r"))
+    return pr.select("vid", F.round("pr", 8).alias("pr_r"))
 
 
 def sql_graph_ppr(iters: int = PPR_ITERS) -> str:
@@ -240,7 +247,7 @@ def sql_graph_ppr(iters: int = PPR_ITERS) -> str:
             f"GROUP BY e.dst) g ON t.vid = g.vid)"
         )
     return (
-        "WITH " + ", ".join(parts) + f" SELECT vid, round(pr, 10) AS pr_r FROM pp{iters}"
+        "WITH " + ", ".join(parts) + f" SELECT vid, round(pr, 8) AS pr_r FROM pp{iters}"
     )
 
 
