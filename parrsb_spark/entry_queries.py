@@ -432,6 +432,61 @@ def sql_graph_lcc() -> str:
     )
 
 
+def q_graph_assortativity(spark, sf_dir):
+    """Degree assortativity of the co-purchase graph — one row of
+    exact integer sums (m, s_x, s_xy, s_xx as decimal/hugeint) plus
+    the Pearson degree-degree correlation r, a single rational
+    expression over those exact operands (no sqrt — the symmetric
+    edge list collapses the two variance terms). Bitwise-deterministic
+    by design; see operators/graphstats.py."""
+    from parrsb_spark.operators.graphstats import degree_assortativity
+
+    return degree_assortativity(copurchase_edges(spark, sf_dir))
+
+
+def sql_graph_assortativity() -> str:
+    md = "CAST(m AS DOUBLE)"
+    sxd = "CAST(s_x AS DOUBLE)"
+    return (
+        f"WITH {CP_CTE}, {CP_SYM_CTE}, "
+        "dg AS MATERIALIZED (SELECT src AS vid, count(*) AS deg FROM cpsym GROUP BY src), "
+        "pr AS (SELECT d1.deg AS dx, d2.deg AS dy "
+        "FROM cpsym e JOIN dg d1 ON e.src = d1.vid JOIN dg d2 ON e.dst = d2.vid), "
+        "ag AS (SELECT count(*) AS m, "
+        "sum(CAST(dx AS HUGEINT)) AS s_x, "
+        "sum(CAST(dx AS HUGEINT) * CAST(dy AS HUGEINT)) AS s_xy, "
+        "sum(CAST(dx AS HUGEINT) * CAST(dx AS HUGEINT)) AS s_xx FROM pr) "
+        "SELECT m, s_x, s_xy, s_xx, "
+        f"CASE WHEN {md} * CAST(s_xx AS DOUBLE) - {sxd} * {sxd} != 0 "
+        f"THEN ({md} * CAST(s_xy AS DOUBLE) - {sxd} * {sxd}) "
+        f"/ ({md} * CAST(s_xx AS DOUBLE) - {sxd} * {sxd}) END AS r "
+        "FROM ag"
+    )
+
+
+def q_graph_reciprocity(spark, sf_dir):
+    """Edge reciprocity of the directed chain-digraph — (m, recip, r):
+    reciprocal-edge count over directed edge count, exact integers
+    plus one exact division. The digraph's md5-gated back edges make
+    r land strictly inside (0, 1)."""
+    from parrsb_spark.operators.graphstats import reciprocity
+
+    return reciprocity(scc_digraph_edges(spark, sf_dir))
+
+
+def sql_graph_reciprocity() -> str:
+    return (
+        f"WITH {_SCC_EDGE_CTES}, "
+        "e AS MATERIALIZED (SELECT DISTINCT src, dst FROM de WHERE src != dst), "
+        "mm AS (SELECT count(*) AS m FROM e), "
+        "rr AS (SELECT count(*) AS recip FROM e a "
+        "WHERE EXISTS (SELECT 1 FROM e b WHERE b.src = a.dst AND b.dst = a.src)) "
+        "SELECT mm.m, rr.recip, "
+        "CAST(rr.recip AS DOUBLE) / CAST(mm.m AS DOUBLE) AS r "
+        "FROM mm CROSS JOIN rr"
+    )
+
+
 def q_graph_modularity(spark, sf_dir):
     """Newman modularity decomposition of the label-propagation
     communities on the co-purchase graph — the quality gate that
@@ -728,7 +783,10 @@ def scc_digraph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # shared oracle CTE text: the same digraph + its transitive closure +
 # per-vertex SCC ids (scc(v) = min u with v→u AND u→v, else v itself).
-_SCC_CTES = (
+# Edge-generation prefix (cust/nn/de) reused standalone by the
+# reciprocity row, which needs the digraph but not the reachability
+# closure.
+_SCC_EDGE_CTES = (
     "cust AS MATERIALIZED ("
     "  SELECT row_number() OVER (ORDER BY c_custkey) - 1 AS rid,"
     "         ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT AS h"
@@ -738,7 +796,11 @@ _SCC_CTES = (
     "  SELECT rid AS src, rid + 1 AS dst FROM cust"
     f"  WHERE rid + 1 < (SELECT n FROM nn) AND (rid + 1) % {SCC_BLOCK} != 0"
     f"  UNION SELECT rid, greatest(rid - (1 + h % {SCC_BACK_SPAN}), (rid // {SCC_BLOCK}) * {SCC_BLOCK}) FROM cust"
-    f"  WHERE (h // {SCC_BACK_SPAN}) % 10 < {SCC_BACK_DENS} AND rid % {SCC_BLOCK} != 0), "
+    f"  WHERE (h // {SCC_BACK_SPAN}) % 10 < {SCC_BACK_DENS} AND rid % {SCC_BLOCK} != 0)"
+)
+
+_SCC_CTES = (
+    f"{_SCC_EDGE_CTES}, "
     "dverts AS MATERIALIZED (SELECT rid AS vid FROM cust), "
     "reach(a, b) AS ("
     "  SELECT src, dst FROM de"
@@ -1561,6 +1623,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_labelprop": q_graph_labelprop,
         "graph_triangles": q_graph_triangles,
         "graph_lcc": q_graph_lcc,
+        "graph_assortativity": q_graph_assortativity,
+        "graph_reciprocity": q_graph_reciprocity,
         "graph_modularity": q_graph_modularity,
         "graph_anf": q_graph_anf,
         "graph_harmonic": q_graph_harmonic,
@@ -1616,6 +1680,8 @@ def oracle_sql() -> dict[str, str]:
         "graph_labelprop": sql_graph_labelprop(),
         "graph_triangles": sql_graph_triangles(),
         "graph_lcc": sql_graph_lcc(),
+        "graph_assortativity": sql_graph_assortativity(),
+        "graph_reciprocity": sql_graph_reciprocity(),
         "graph_modularity": sql_graph_modularity(),
         "graph_anf": sql_graph_anf(),
         "graph_harmonic": sql_graph_harmonic(),

@@ -13,6 +13,7 @@ from parrsb_spark.operators.triangles import (
 from parrsb_spark.operators.labelprop import label_propagation
 from parrsb_spark.operators.community import modularity, modularity_by_community
 from parrsb_spark.operators.walks import random_walks
+from parrsb_spark.operators.graphstats import degree_assortativity, reciprocity
 from parrsb_spark.operators.linkpred import link_prediction_scores
 from parrsb_spark.operators.anf import (
     anf_masks,
@@ -51,6 +52,8 @@ __all__ = [
     "modularity_by_community",
     "random_walks",
     "link_prediction_scores",
+    "degree_assortativity",
+    "reciprocity",
     "anf_masks",
     "ball_estimates",
     "neighborhood_function",
