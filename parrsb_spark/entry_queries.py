@@ -567,6 +567,83 @@ def sql_graph_anf(hops: int = ANF_HOPS, k: int = ANF_SKETCHES) -> str:
     )
 
 
+def q_graph_nf_diameter(spark, sf_dir):
+    """Per-hop neighborhood function N(h) (ANF, h = 0..ANF_HOPS) plus
+    the interpolated 0.9-effective diameter (Palmer/Gibbons/Faloutsos
+    KDD'02) — the standard webgraph distance summary. The per-hop
+    totals are histogram-then-ordered-fold reductions over the exact
+    integer sketch histograms (see anf.neighborhood_function), so the
+    distributed part is order-independent; the oracle replays the
+    identical mask hops, histogram fold, and interpolation. Gated at
+    round-4 (pow ULP parity across engines, the graph_harmonic
+    precedent — N is an estimate with ~1e-12 relative engine noise)."""
+    from parrsb_spark.operators.anf import effective_diameter, neighborhood_function
+
+    nf = neighborhood_function(
+        bipartite_edges(spark, sf_dir), max_hops=ANF_HOPS, n_sketches=ANF_SKETCHES
+    )
+    # Fixed point before max_hops ⇒ N is constant from there; the pad
+    # IS the mathematical continuation and equals the oracle's value
+    # for those hops bitwise (the masks it would merge are identical).
+    while len(nf) < ANF_HOPS + 1:
+        nf.append((len(nf), nf[-1][1]))
+    d = effective_diameter(nf, q=0.9)
+    return spark.createDataFrame(
+        [(h, est, d) for h, est in nf], "h bigint, nf_est double, d_eff double"
+    ).select(
+        "h",
+        F.round("nf_est", 4).alias("nf_est"),
+        F.round("d_eff", 4).alias("d_eff"),
+    )
+
+
+def sql_graph_nf_diameter(hops: int = ANF_HOPS, k: int = ANF_SKETCHES) -> str:
+    from parrsb_spark.operators.anf import FM_PHI, _fm_mask_sql, _lzb_sql
+
+    mask_cols = ", ".join(f"{_fm_mask_sql('vid', j)} AS s{j}" for j in range(k))
+    parts = [EG_CTE, VERTS_CTE, SYM_CTE, f"m0 AS (SELECT vid, {mask_cols} FROM verts)"]
+    for h in range(1, hops + 1):
+        p = f"m{h - 1}"
+        sel = ", ".join(f"v.s{j} | coalesce(n.o{j}, 0) AS s{j}" for j in range(k))
+        ag = ", ".join(f"bit_or(m.s{j}) AS o{j}" for j in range(k))
+        parts.append(
+            f"m{h} AS MATERIALIZED (SELECT v.vid, {sel} FROM {p} v "
+            f"LEFT JOIN (SELECT s.dst AS vid, {ag} FROM sym s JOIN {p} m "
+            f"ON s.src = m.vid GROUP BY s.dst) n ON v.vid = n.vid)"
+        )
+    lzb = " + ".join(_lzb_sql(f"s{j}") for j in range(k))
+    # per-hop: exact integer histogram of lzb_sum, then the SAME
+    # ascending-s fold and single /phi the Spark driver performs
+    for h in range(hops + 1):
+        parts.append(
+            f"nf{h} AS (SELECT list_reduce(list_prepend(0.0, "
+            f"list(CAST(cnt AS DOUBLE) * pow(2.0, CAST(s AS DOUBLE) / CAST({k} AS DOUBLE)) ORDER BY s)), "
+            f"(x, y) -> x + y) / {FM_PHI!r} AS nf "
+            f"FROM (SELECT CAST({lzb} AS BIGINT) AS s, count(*) AS cnt FROM m{h} GROUP BY 1))"
+        )
+    nfs_union = " UNION ALL ".join(
+        f"SELECT CAST({h} AS BIGINT) AS h, nf FROM nf{h}" for h in range(hops + 1)
+    )
+    parts.append(f"nfs AS MATERIALIZED ({nfs_union})")
+    parts.append(f"tgt AS (SELECT 0.9 * nf AS t FROM nfs WHERE h = {hops})")
+    parts.append(
+        "crossh AS (SELECT min(h) AS h FROM nfs CROSS JOIN tgt WHERE nfs.nf >= tgt.t)"
+    )
+    parts.append(
+        "deff AS (SELECT CASE WHEN c.h = 0 THEN 0.0 "
+        "WHEN cur.nf = prv.nf THEN CAST(c.h AS DOUBLE) "
+        "ELSE CAST(c.h - 1 AS DOUBLE) + (tgt.t - prv.nf) / (cur.nf - prv.nf) * CAST(1 AS DOUBLE) END AS d "
+        "FROM crossh c JOIN nfs cur ON cur.h = c.h "
+        "LEFT JOIN nfs prv ON prv.h = c.h - 1 CROSS JOIN tgt)"
+    )
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + " SELECT nfs.h, round(nfs.nf, 4) AS nf_est, round(deff.d, 4) AS d_eff "
+        "FROM nfs CROSS JOIN deff"
+    )
+
+
 def q_graph_harmonic(spark, sf_dir):
     """FM-sketch harmonic centrality (Boldi-Vigna) after ANF_HOPS ball
     merges — the distance-based centrality for disconnected webgraphs.
@@ -1627,6 +1704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_reciprocity": q_graph_reciprocity,
         "graph_modularity": q_graph_modularity,
         "graph_anf": q_graph_anf,
+        "graph_nf_diameter": q_graph_nf_diameter,
         "graph_harmonic": q_graph_harmonic,
         "graph_walks": q_graph_walks,
         "graph_mirror_pairs": q_graph_mirror_pairs,
@@ -1684,6 +1762,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_reciprocity": sql_graph_reciprocity(),
         "graph_modularity": sql_graph_modularity(),
         "graph_anf": sql_graph_anf(),
+        "graph_nf_diameter": sql_graph_nf_diameter(),
         "graph_harmonic": sql_graph_harmonic(),
         "graph_walks": sql_graph_walks(),
         "graph_mirror_pairs": sql_graph_mirror_pairs(),

@@ -148,11 +148,20 @@ def neighborhood_function(
     ).localCheckpoint(eager=True)
 
     def total(m: DataFrame) -> float:
-        est = F.pow(
-            F.lit(2.0),
-            sum(F.expr(_lzb_sql(c)) for c in cols) / float(n_sketches),
-        ) / FM_PHI
-        return float(m.agg(F.sum(est)).collect()[0][0])
+        # Histogram-then-ordered-fold instead of F.sum of per-vertex
+        # float terms: lzb_sum is a small integer (≤ 64·k), so the
+        # groupBy is an EXACT integer histogram (order-free), and the
+        # float reduction runs driver-side in ONE ascending-s order —
+        # bitwise run-to-run deterministic, where a shuffled double sum
+        # is not (the round-5 linkpred lesson). The collect is bounded
+        # by the lzb range (~hundreds of rows), the same comm_allreduce
+        # scale class as the per-hop scalar above.
+        lzb = sum(F.expr(_lzb_sql(c)) for c in cols)
+        hist = m.groupBy(lzb.cast("bigint").alias("s")).count().collect()
+        acc = 0.0
+        for s, cnt in sorted((r["s"], r["count"]) for r in hist):
+            acc += cnt * 2.0 ** (s / float(n_sketches))
+        return acc / FM_PHI
 
     out = [(0, total(masks))]
     for h in range(1, max_hops + 1):

@@ -186,3 +186,32 @@ def test_harmonic_centrality_estimates(spark):
         for r in harmonic_centrality_estimates(star, max_hops=3, n_sketches=8).collect()
     }
     assert all(hc[1] > hc[leaf] for leaf in range(2, 22))
+
+
+def test_anf_nf_bitwise_deterministic_across_partitionings(spark):
+    """The per-hop totals must be EXACTLY equal across input layouts:
+    the reduction is an exact integer histogram plus one driver-side
+    ascending-order fold (a shuffled F.sum of per-vertex floats was
+    the linkpred flake shape)."""
+    edges = graphs.powerlaw(50, m=3, seed=5)
+    base = graphs.to_df(spark, edges)
+    a = neighborhood_function(base.repartition(1), max_hops=5, n_sketches=4)
+    b = neighborhood_function(
+        base.orderBy("dst").repartition(16), max_hops=5, n_sketches=4
+    )
+    assert a == b  # exact ==, floats included
+
+
+def test_nf_diameter_query_row_shape(spark):
+    from parrsb_spark.entry_queries import ANF_HOPS, q_graph_nf_diameter
+
+    rows = sorted(
+        q_graph_nf_diameter(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r["h"],
+    )
+    assert [r["h"] for r in rows] == list(range(ANF_HOPS + 1))
+    vals = [r["nf_est"] for r in rows]
+    assert all(b >= a for a, b in zip(vals, vals[1:]))  # monotone
+    d = {r["d_eff"] for r in rows}
+    assert len(d) == 1  # one diameter, constant across hop rows
+    assert 0.0 <= d.pop() <= ANF_HOPS
