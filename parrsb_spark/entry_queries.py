@@ -276,6 +276,60 @@ def sql_graph_kcore(k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> str:
     )
 
 
+TRUSS_K = 6
+TRUSS_ROUNDS = 4
+
+
+def q_graph_truss(spark, sf_dir):
+    """Edges of the 6-truss of the co-purchase graph after ≤4
+    synchronous peel rounds, with exact in-subgraph support. Every
+    quantity is an integer count, so the row is exact; the oracle
+    unrolls the identical recurrence (converged rounds are no-ops, so
+    Spark's fixed-point early exit equals round TRUSS_ROUNDS)."""
+    from parrsb_spark.operators.truss import truss
+
+    return truss(
+        copurchase_edges(spark, sf_dir), k=TRUSS_K, max_rounds=TRUSS_ROUNDS
+    ).select("u", "v", "support")
+
+
+def sql_graph_truss(k: int = TRUSS_K, rounds: int = TRUSS_ROUNDS) -> str:
+    # per-round: triangles of the survivor set (canonical u<v edges,
+    # each triangle once via u<v<w joins) materialized ONCE, 3-way edge
+    # explode, count, filter support >= k-2 — the truss.py recurrence
+    def tri_sup(r: int, src: str) -> list[str]:
+        return [
+            f"tri{r} AS MATERIALIZED (SELECT e1.u AS a, e1.v AS b, e2.v AS c "
+            f"FROM {src} e1 JOIN {src} e2 ON e1.u = e2.u AND e1.v < e2.v "
+            f"JOIN {src} e3 ON e3.u = e1.v AND e3.v = e2.v)",
+            f"sup{r} AS MATERIALIZED (SELECT t.u, t.v, count(*) AS support FROM "
+            f"(SELECT a AS u, b AS v FROM tri{r} "
+            f"UNION ALL SELECT a, c FROM tri{r} "
+            f"UNION ALL SELECT b, c FROM tri{r}) t GROUP BY t.u, t.v)",
+        ]
+
+    parts = [
+        CP_CTE,
+        "t0 AS MATERIALIZED (SELECT src AS u, dst AS v FROM cp WHERE src < dst "
+        "UNION SELECT dst, src FROM cp WHERE dst < src)",
+    ]
+    for r in range(1, rounds + 1):
+        parts += tri_sup(r, f"t{r - 1}")
+        parts.append(
+            f"t{r} AS MATERIALIZED (SELECT e.u, e.v FROM t{r - 1} e "
+            f"JOIN sup{r} s ON e.u = s.u AND e.v = s.v "
+            f"WHERE s.support >= {k - 2})"
+        )
+    parts += tri_sup(rounds + 1, f"t{rounds}")
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f" SELECT e.u, e.v, coalesce(s.support, 0) AS support "
+        f"FROM t{rounds} e LEFT JOIN sup{rounds + 1} s "
+        "ON e.u = s.u AND e.v = s.v"
+    )
+
+
 def q_graph_bfs(spark, sf_dir):
     from parrsb_spark.operators.bfs import bfs_distances
     from parrsb_spark.sources.edges import vertices_from_edges
@@ -1693,6 +1747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_hits": q_graph_hits,
         "graph_ppr": q_graph_ppr,
         "graph_kcore": q_graph_kcore,
+        "graph_truss": q_graph_truss,
         "graph_bfs": q_graph_bfs,
         "graph_sssp": q_graph_sssp,
         "graph_cc": q_graph_cc,
@@ -1751,6 +1806,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_hits": sql_graph_hits(),
         "graph_ppr": sql_graph_ppr(),
         "graph_kcore": sql_graph_kcore(),
+        "graph_truss": sql_graph_truss(),
         "graph_bfs": sql_graph_bfs(),
         "graph_sssp": sql_graph_sssp(),
         "graph_cc": sql_graph_cc(),

@@ -15,6 +15,7 @@ from parrsb_spark.operators.community import modularity, modularity_by_community
 from parrsb_spark.operators.walks import random_walks
 from parrsb_spark.operators.graphstats import degree_assortativity, reciprocity
 from parrsb_spark.operators.linkpred import link_prediction_scores
+from parrsb_spark.operators.truss import truss
 from parrsb_spark.operators.anf import (
     anf_masks,
     ball_estimates,
@@ -37,6 +38,7 @@ __all__ = [
     "personalized_pagerank",
     "hits",
     "kcore",
+    "truss",
     "bfs_distances",
     "sssp",
     "connected_components",
