@@ -233,6 +233,18 @@ elif kernel == "scc":
     # the BFS convention (2m) so rows are comparable to cc/bfs
     work = 2 * m
     extra_fields["n_scc"] = n_scc
+elif kernel == "truss":
+    from parrsb_spark.operators.truss import truss
+
+    # 6-truss with a 2-round cap: each round is one degree-oriented
+    # triangle enumeration + a pair-keyed count over the shrinking
+    # survivor set, plus the final support pass — 3 enumerations total
+    # (ROUNDS + 1), so work is the triangles convention x3
+    K, ROUNDS = 6, 2
+    t0 = time.time()
+    n_alive = truss(edges, k=K, max_rounds=ROUNDS).count()
+    work = m * (ROUNDS + 1)
+    extra_fields["truss_edges"] = n_alive
 elif kernel == "extract":
     # compute-bound Arrow-UDF pipeline: synth pages -> extract links ->
     # edges + dense ids (no iterative shuffles; scales with cores)
