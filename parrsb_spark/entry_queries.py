@@ -541,6 +541,57 @@ def sql_graph_reciprocity() -> str:
     )
 
 
+LOUVAIN_ROUNDS = 3
+
+
+def q_graph_louvain(spark, sf_dir):
+    """Three synchronous Louvain-sweep rounds (modularity-gain label
+    moves, Blondel et al. 2008 phase 1 in its data-parallel form) on
+    the co-purchase graph — per-vertex community ids. Every gain
+    operand is an exact integer aggregate, so the float gains and the
+    struct-argmax replay identically in the unrolled oracle."""
+    from parrsb_spark.operators.community import louvain_moves
+
+    return louvain_moves(copurchase_edges(spark, sf_dir), n_rounds=LOUVAIN_ROUNDS)
+
+
+def sql_graph_louvain(rounds: int = LOUVAIN_ROUNDS) -> str:
+    m2 = "(SELECT CAST(sum(deg) AS DOUBLE) FROM dg)"
+    parts = [
+        CP_CTE,
+        CP_VERTS_CTE,
+        CP_SYM_CTE,
+        "dg AS MATERIALIZED (SELECT src AS vid, count(*) AS deg FROM cpsym GROUP BY src)",
+        "lb0 AS (SELECT vid, vid AS lab FROM cpverts)",
+    ]
+    for r in range(1, rounds + 1):
+        p = f"lb{r - 1}"
+        parts += [
+            f"cd{r} AS (SELECT l.lab, sum(d.deg) AS dc FROM {p} l "
+            f"JOIN dg d ON l.vid = d.vid GROUP BY l.lab)",
+            f"kv{r} AS (SELECT s.src AS vid, l.lab AS cand, count(*) AS kin "
+            f"FROM cpsym s JOIN {p} l ON s.dst = l.vid GROUP BY s.src, l.lab)",
+            # the louvain_moves gain expression verbatim
+            f"gn{r} AS (SELECT k.vid, k.cand, CAST(k.kin AS DOUBLE) "
+            f"- CAST(d.deg AS DOUBLE) * (CAST(c.dc AS DOUBLE) "
+            f"- CASE WHEN k.cand = o.lab THEN CAST(d.deg AS DOUBLE) ELSE 0.0 END) "
+            f"/ {m2} AS g "
+            f"FROM kv{r} k JOIN dg d ON k.vid = d.vid "
+            f"JOIN cd{r} c ON k.cand = c.lab JOIN {p} o ON k.vid = o.vid)",
+            # struct-max twin: max gain, then smallest community id
+            # among EXACT-equal maxima (identical doubles both engines)
+            f"mx{r} AS (SELECT vid, max(g) AS mg FROM gn{r} GROUP BY vid)",
+            f"lb{r} AS MATERIALIZED (SELECT g.vid, min(g.cand) AS lab "
+            f"FROM gn{r} g JOIN mx{r} x ON g.vid = x.vid AND g.g = x.mg "
+            f"GROUP BY g.vid)",
+        ]
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f" SELECT vid, lab AS community FROM lb{rounds}"
+    )
+
+
 def q_graph_modularity(spark, sf_dir):
     """Newman modularity decomposition of the label-propagation
     communities on the co-purchase graph — the quality gate that
@@ -1757,6 +1808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_lcc": q_graph_lcc,
         "graph_assortativity": q_graph_assortativity,
         "graph_reciprocity": q_graph_reciprocity,
+        "graph_louvain": q_graph_louvain,
         "graph_modularity": q_graph_modularity,
         "graph_anf": q_graph_anf,
         "graph_nf_diameter": q_graph_nf_diameter,
@@ -1816,6 +1868,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_lcc": sql_graph_lcc(),
         "graph_assortativity": sql_graph_assortativity(),
         "graph_reciprocity": sql_graph_reciprocity(),
+        "graph_louvain": sql_graph_louvain(),
         "graph_modularity": sql_graph_modularity(),
         "graph_anf": sql_graph_anf(),
         "graph_nf_diameter": sql_graph_nf_diameter(),

@@ -11,7 +11,7 @@ from parrsb_spark.operators.triangles import (
     triangle_total,
 )
 from parrsb_spark.operators.labelprop import label_propagation
-from parrsb_spark.operators.community import modularity, modularity_by_community
+from parrsb_spark.operators.community import louvain_moves, modularity, modularity_by_community
 from parrsb_spark.operators.walks import random_walks
 from parrsb_spark.operators.graphstats import degree_assortativity, reciprocity
 from parrsb_spark.operators.linkpred import link_prediction_scores
@@ -51,6 +51,7 @@ __all__ = [
     "triangle_total",
     "label_propagation",
     "modularity",
+    "louvain_moves",
     "modularity_by_community",
     "random_walks",
     "link_prediction_scores",
