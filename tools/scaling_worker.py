@@ -233,6 +233,18 @@ elif kernel == "scc":
     # the BFS convention (2m) so rows are comparable to cc/bfs
     work = 2 * m
     extra_fields["n_scc"] = n_scc
+elif kernel == "louvain":
+    from parrsb_spark.operators.community import louvain_moves
+
+    # 3 synchronous sweep rounds; per round one dst-keyed label attach
+    # + a (src, community) count + community-degree agg + struct-max —
+    # the labelprop shape plus one extra agg, so the same 2m-per-round
+    # work convention
+    ROUNDS = 3
+    t0 = time.time()
+    n_comm = louvain_moves(edges, n_rounds=ROUNDS).select("community").distinct().count()
+    work = 2 * m * ROUNDS
+    extra_fields["n_communities"] = n_comm
 elif kernel == "truss":
     from parrsb_spark.operators.truss import truss
 
