@@ -1792,6 +1792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pages_edges": q_pages_edges,
         "pages_host_graph": q_pages_host_graph,
+        "host_pagerank": q_host_pagerank,
         "graph_edges": q_graph_edges,
         "graph_degree": q_graph_degree,
         "graph_pagerank": q_graph_pagerank,
@@ -1852,6 +1853,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "pages_edges": sql_pages_edges(),
         "pages_host_graph": sql_pages_host_graph(),
+        "host_pagerank": sql_host_pagerank(),
         "graph_edges": sql_graph_edges(),
         "graph_degree": sql_graph_degree(),
         "graph_pagerank": sql_graph_pagerank(),
@@ -1969,6 +1971,66 @@ def sql_pages_host_graph():
             w[(host(page_url(i)), host(t))] += 1
     vals = ", ".join(f"('{a}', '{b}', {c})" for (a, b), c in sorted(w.items()))
     return f"SELECT * FROM (VALUES {vals}) t(src_host, dst_host, weight)"
+
+
+def q_host_pagerank(spark, sf_dir):
+    """Weighted PageRank over the host-level rollup — domain ranking,
+    the canonical Common-Crawl webgraph computation: the contracted
+    host graph's edge weights (page-level link multiplicities) steer
+    the walk, pr(u)·w(u,v)/wout(u) per edge. Same round-8 gate as the
+    other iterative float kernels."""
+    from parrsb_spark.operators.pagerank import pagerank
+    from parrsb_spark.sources.edges import host_edges_from_pages
+    from parrsb_spark.sources.pages import synth_pages
+
+    he = host_edges_from_pages(
+        synth_pages(spark, PAGES_N, m=PAGES_M, seed=PAGES_SEED)
+    ).select(
+        F.col("src_host").alias("src"),
+        F.col("dst_host").alias("dst"),
+        "weight",
+    )
+    pr = pagerank(he, damping=DAMPING, fixed_iters=PR_ITERS, weight_col="weight")
+    return pr.select(F.col("vid").alias("host"), F.round("pr", 8).alias("pr_r"))
+
+
+def sql_host_pagerank(iters: int = PR_ITERS) -> str:
+    from collections import Counter
+
+    from parrsb_spark.sources.pages import page_links, page_url
+
+    def host(u: str) -> str:
+        return u.split("://", 1)[1].split("/", 1)[0]
+
+    w: Counter = Counter()
+    for i in range(PAGES_N):
+        for t in page_links(i, PAGES_N, PAGES_M, PAGES_SEED):
+            w[(host(page_url(i)), host(t))] += 1
+    vals = ", ".join(f"('{a}', '{b}', {c})" for (a, b), c in sorted(w.items()))
+    d = DAMPING
+    parts = [
+        f"he AS (SELECT * FROM (VALUES {vals}) t(src, dst, w))",
+        "hverts AS (SELECT src AS vid FROM he UNION SELECT dst FROM he)",
+        "hn AS (SELECT CAST(count(*) AS DOUBLE) AS cnt FROM hverts)",
+        "hout AS (SELECT src AS vid, CAST(sum(w) AS DOUBLE) AS od FROM he GROUP BY src)",
+        "hp0 AS (SELECT vid, 1.0/(SELECT cnt FROM hn) AS pr FROM hverts)",
+    ]
+    for k in range(1, iters + 1):
+        p = f"hp{k - 1}"
+        parts.append(
+            f"hp{k} AS MATERIALIZED (SELECT v.vid, "
+            f"( {1 - d} + {d} * (SELECT coalesce(sum(p.pr), 0) FROM {p} p "
+            f"LEFT JOIN hout o ON p.vid = o.vid WHERE o.vid IS NULL) ) / (SELECT cnt FROM hn) "
+            f"+ {d} * coalesce(g.gath, 0) AS pr "
+            f"FROM hverts v LEFT JOIN ("
+            f"SELECT e.dst AS vid, sum(p.pr / o.od * CAST(e.w AS DOUBLE)) AS gath "
+            f"FROM he e JOIN {p} p ON e.src = p.vid JOIN hout o ON e.src = o.vid "
+            f"GROUP BY e.dst) g ON v.vid = g.vid)"
+        )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT vid AS host, round(pr, 8) AS pr_r FROM hp{iters}"
+    )
 
 
 def q_graph_cc_dense(spark, sf_dir):

@@ -44,10 +44,18 @@ def pagerank(
     vertices: DataFrame | None = None,
     chain: int = 2,
     opts=None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Returns (vid, pr). `fixed_iters` runs exactly that many iterations
     with no convergence checks (oracle-parity mode); otherwise iterate to
     L1 delta < tol or max_iter, testing convergence every `chain` steps.
+
+    `weight_col` names an edge weight column (e.g. the link multiplicity
+    of the host-level rollup, sources/edges.host_edges_from_pages):
+    contributions become pr(u)·w(u,v)/wout(u) with wout = Σ out-weights.
+    Unweighted (the default) is the w ≡ 1 special case and produces
+    IDENTICAL values through the identical plan — outdeg below is
+    sum(1) per src either way.
 
     Hub salting is armed BY DEFAULT: when the max in-degree exceeds
     `salt_degree_threshold` (from `opts` or the env-overridable
@@ -63,10 +71,16 @@ def pagerank(
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
     d = damping
 
-    e = edges.select("src", "dst").repartition(n_shuffle, "src").cache()
+    # the weight column is carried ONLY when weighted — a materialized
+    # constant would bloat the cached edge table at 10^12-edge scale
+    ecols = ["src", "dst"] + (
+        [F.col(weight_col).cast("long").alias("_w")] if weight_col else []
+    )
+    e = edges.select(*ecols).repartition(n_shuffle, "src").cache()
     verts = (vertices or vertices_from_edges(e)).select("vid")
+    out_w = F.col("_w") if weight_col else F.lit(1)
     deg = (
-        e.select(F.col("src").alias("vid"), F.lit(1).alias("_o"), F.lit(0).alias("_i"))
+        e.select(F.col("src").alias("vid"), out_w.alias("_o"), F.lit(0).alias("_i"))
         .unionAll(e.select(F.col("dst").alias("vid"), F.lit(0).alias("_o"), F.lit(1).alias("_i")))
         .groupBy("vid")
         .agg(F.sum("_o").alias("outdeg"), F.sum("_i").alias("indeg"))
@@ -111,10 +125,15 @@ def pagerank(
         )
         joined = e.join(
             r.filter(F.col("outdeg") > 0).select(
-                F.col("vid").alias("src"), (F.col("pr") / F.col("outdeg")).alias("c")
+                F.col("vid").alias("src"), (F.col("pr") / F.col("outdeg")).alias("_c")
             ),
             "src",
-        ).select(F.col("dst").alias("vid"), "c")
+        ).select(
+            F.col("dst").alias("vid"),
+            (
+                (F.col("_c") * F.col("_w")) if weight_col else F.col("_c")
+            ).alias("c"),
+        )
         if use_salt:
             from parrsb_spark.functions.spmv import salted_agg
 

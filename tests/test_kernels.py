@@ -150,3 +150,38 @@ def test_pagerank_chain_invariance(spark):
     b = {r["vid"]: r["pr"] for r in pagerank(df, fixed_iters=6, chain=3).collect()}
     for v in a:
         assert abs(a[v] - b[v]) < 1e-15
+
+
+def test_weighted_pagerank_identical_plan_when_w1(spark):
+    """weight_col with all-ones weights must equal the unweighted run
+    EXACTLY (same recurrence, outdeg = sum(1) either way)."""
+    from parrsb_spark.operators.pagerank import pagerank
+
+    df = graphs.to_df(spark, graphs.powerlaw(40, m=3, seed=4))
+    from pyspark.sql import functions as F
+
+    w1 = df.withColumn("w", F.lit(1).cast("long"))
+    a = {r["vid"]: r["pr"] for r in pagerank(df, fixed_iters=8).collect()}
+    b = {r["vid"]: r["pr"] for r in pagerank(w1, fixed_iters=8, weight_col="w").collect()}
+    assert a == b  # exact ==
+
+
+def test_weighted_pagerank_multiplicity_equals_duplicated_edges(spark):
+    """Weight-w edges must rank like w parallel unweighted edges (the
+    host-rollup semantics: weight = page-level link multiplicity)."""
+    from parrsb_spark.operators.pagerank import pagerank
+
+    base = [(0, 1), (1, 2), (2, 0), (0, 2)]
+    weights = {(0, 1): 3, (1, 2): 1, (2, 0): 2, (0, 2): 1}
+    wdf = spark.createDataFrame(
+        [(a, b, weights[(a, b)]) for a, b in base], "src long, dst long, w long"
+    )
+    dup = spark.createDataFrame(
+        [e for e in base for _ in range(weights[e])], "src long, dst long"
+    )
+    got = {r["vid"]: r["pr"] for r in pagerank(wdf, fixed_iters=12, weight_col="w").collect()}
+    want = {r["vid"]: r["pr"] for r in pagerank(dup, fixed_iters=12).collect()}
+    assert set(got) == set(want)
+    for v in want:  # same recurrence, different float association order
+        assert abs(got[v] - want[v]) < 1e-12
+    assert abs(sum(got.values()) - 1.0) < 1e-9  # mass conserved
