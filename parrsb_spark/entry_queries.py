@@ -330,6 +330,106 @@ def sql_graph_truss(k: int = TRUSS_K, rounds: int = TRUSS_ROUNDS) -> str:
     )
 
 
+MIS_ROUNDS = 10
+MATCHING_ROUNDS = 12
+
+
+def q_graph_mis(spark, sf_dir):
+    """Luby-style maximal independent set of the co-purchase graph:
+    (vid, in_mis, round). Priorities are the exact-integer Knuth hash
+    totally ordered by (p, vid), so every round's winner set is
+    bitwise partition-independent; the oracle unrolls the identical
+    recurrence (measured convergence: round 7 at sf0.01 — converged
+    rounds are no-ops)."""
+    from parrsb_spark.operators.mis import mis
+
+    return mis(copurchase_edges(spark, sf_dir), max_rounds=MIS_ROUNDS).select(
+        "vid", "in_mis", "round"
+    )
+
+
+def sql_graph_mis(rounds: int = MIS_ROUNDS) -> str:
+    # mis.py recurrence verbatim: strict struct(p, vid) local minimum
+    # wins, undecided neighbours of winners leave, repeat on the
+    # shrunken undecided set. DuckDB struct comparison is lexicographic
+    # by field order, matching Spark's struct(p, vid) order.
+    parts = [
+        CP_CTE,
+        CP_VERTS_CTE,
+        CP_SYM_CTE,
+        "u0 AS MATERIALIZED (SELECT CAST(vid AS BIGINT) AS vid, "
+        "(CAST(vid AS BIGINT) * 2654435761) % 2147483648 AS p FROM cpverts)",
+    ]
+    decided = []
+    for r in range(1, rounds + 1):
+        pu = f"u{r - 1}"
+        parts += [
+            # live edges (both endpoints undecided) with dst priority
+            f"l{r} AS MATERIALIZED (SELECT s.src, s.dst, b.p AS pd FROM cpsym s "
+            f"JOIN {pu} a ON s.src = a.vid JOIN {pu} b ON s.dst = b.vid)",
+            f"n{r} AS (SELECT src, min({{'p': pd, 'vid': CAST(dst AS BIGINT)}}) AS mn "
+            f"FROM l{r} GROUP BY src)",
+            f"w{r} AS MATERIALIZED (SELECT a.vid FROM {pu} a "
+            f"LEFT JOIN n{r} n ON a.vid = n.src "
+            f"WHERE n.mn IS NULL OR {{'p': a.p, 'vid': a.vid}} < n.mn)",
+            f"x{r} AS MATERIALIZED (SELECT DISTINCT CAST(l.dst AS BIGINT) AS vid "
+            f"FROM l{r} l JOIN w{r} w ON l.src = w.vid)",
+            f"u{r} AS MATERIALIZED (SELECT a.vid, a.p FROM {pu} a "
+            f"WHERE a.vid NOT IN (SELECT vid FROM w{r}) "
+            f"AND a.vid NOT IN (SELECT vid FROM x{r}))",
+        ]
+        decided += [
+            f"SELECT vid, 1 AS in_mis, {r} AS round FROM w{r}",
+            f"SELECT vid, 0 AS in_mis, {r} AS round FROM x{r}",
+        ]
+    decided.append(f"SELECT vid, -1 AS in_mis, -1 AS round FROM u{rounds}")
+    return "WITH " + ", ".join(parts) + " " + " UNION ALL ".join(decided)
+
+
+def q_graph_matching(spark, sf_dir):
+    """Israeli–Itai maximal matching of the co-purchase graph:
+    (u, v, round). Per-round re-randomized exact-integer priorities
+    (measured: 8 rounds at sf0.01 vs 27 with fixed priorities),
+    handshake winners only — bitwise partition-independent; the
+    oracle unrolls the identical recurrence."""
+    from parrsb_spark.operators.matching import maximal_matching
+
+    return maximal_matching(
+        copurchase_edges(spark, sf_dir), max_rounds=MATCHING_ROUNDS
+    ).select("u", "v", "round")
+
+
+def sql_graph_matching(rounds: int = MATCHING_ROUNDS) -> str:
+    # matching.py recurrence verbatim: per-round priority
+    # ((u·K + v·M2 mod 2^31) + r)·K mod 2^31, per-vertex min over the
+    # 2-role explode, handshake equality at both endpoints.
+    parts = [
+        CP_CTE,
+        "t0 AS MATERIALIZED (SELECT CAST(src AS BIGINT) AS u, "
+        "CAST(dst AS BIGINT) AS v FROM cp)",
+    ]
+    decided = []
+    for r in range(1, rounds + 1):
+        pt = f"t{r - 1}"
+        parts += [
+            f"lv{r} AS MATERIALIZED (SELECT u, v, "
+            f"((u * 2654435761 + v * 40503) % 2147483648 + {r}) * 2654435761 "
+            f"% 2147483648 AS p FROM {pt})",
+            f"vm{r} AS (SELECT vid, min(s) AS mn FROM ("
+            f"SELECT u AS vid, {{'p': p, 'u': u, 'v': v}} AS s FROM lv{r} "
+            f"UNION ALL SELECT v, {{'p': p, 'u': u, 'v': v}} FROM lv{r}) "
+            f"GROUP BY vid)",
+            f"w{r} AS MATERIALIZED (SELECT l.u, l.v FROM lv{r} l "
+            f"JOIN vm{r} a ON l.u = a.vid AND {{'p': l.p, 'u': l.u, 'v': l.v}} = a.mn "
+            f"JOIN vm{r} b ON l.v = b.vid AND {{'p': l.p, 'u': l.u, 'v': l.v}} = b.mn)",
+            f"t{r} AS MATERIALIZED (SELECT e.u, e.v FROM {pt} e "
+            f"WHERE e.u NOT IN (SELECT u FROM w{r} UNION SELECT v FROM w{r}) "
+            f"AND e.v NOT IN (SELECT u FROM w{r} UNION SELECT v FROM w{r}))",
+        ]
+        decided.append(f"SELECT u, v, {r} AS round FROM w{r}")
+    return "WITH " + ", ".join(parts) + " " + " UNION ALL ".join(decided)
+
+
 def q_graph_bfs(spark, sf_dir):
     from parrsb_spark.operators.bfs import bfs_distances
     from parrsb_spark.sources.edges import vertices_from_edges
@@ -1800,6 +1900,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_ppr": q_graph_ppr,
         "graph_kcore": q_graph_kcore,
         "graph_truss": q_graph_truss,
+        "graph_mis": q_graph_mis,
+        "graph_matching": q_graph_matching,
         "graph_bfs": q_graph_bfs,
         "graph_sssp": q_graph_sssp,
         "graph_cc": q_graph_cc,
@@ -1861,6 +1963,8 @@ def oracle_sql() -> dict[str, str]:
         "graph_ppr": sql_graph_ppr(),
         "graph_kcore": sql_graph_kcore(),
         "graph_truss": sql_graph_truss(),
+        "graph_mis": sql_graph_mis(),
+        "graph_matching": sql_graph_matching(),
         "graph_bfs": sql_graph_bfs(),
         "graph_sssp": sql_graph_sssp(),
         "graph_cc": sql_graph_cc(),
