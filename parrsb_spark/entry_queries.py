@@ -430,6 +430,76 @@ def sql_graph_matching(rounds: int = MATCHING_ROUNDS) -> str:
     return "WITH " + ", ".join(parts) + " " + " UNION ALL ".join(decided)
 
 
+COLORING_ROUNDS = 40
+
+
+def q_graph_coloring(spark, sf_dir):
+    """Speculative greedy coloring (Gebremedhin–Manne conflict-retry)
+    of the co-purchase graph: (vid, color, round). Exact-integer
+    priorities make every round's commit set bitwise
+    partition-independent; measured convergence round 38 at sf0.01
+    (rounds track the largest color on clique-heavy graphs), so the
+    40-round unroll covers the fixed point with margin — and by the
+    any-round-bound contract the row would stay exact even if it
+    didn't (leftovers are (-1, -1) on both sides)."""
+    from parrsb_spark.operators.coloring import greedy_coloring
+
+    return greedy_coloring(
+        copurchase_edges(spark, sf_dir), max_rounds=COLORING_ROUNDS
+    ).select("vid", "color", "round")
+
+
+def sql_graph_coloring(rounds: int = COLORING_ROUNDS) -> str:
+    # coloring.py "spec" recurrence verbatim: per-round hub-safe mex
+    # (candidates {0} ∪ {c+1}, min not present), same-tentative-color
+    # conflict resolution by strict struct(p, vid) minimum.
+    parts = [
+        CP_CTE,
+        CP_VERTS_CTE,
+        CP_SYM_CTE,
+        "cu0 AS MATERIALIZED (SELECT CAST(vid AS BIGINT) AS vid, "
+        "(CAST(vid AS BIGINT) * 2654435761) % 2147483648 AS p FROM cpverts)",
+        "ccol0 AS MATERIALIZED (SELECT CAST(NULL AS BIGINT) AS vid, "
+        "CAST(NULL AS INTEGER) AS color, CAST(NULL AS INTEGER) AS round WHERE 1=0)",
+    ]
+    for r in range(1, rounds + 1):
+        pu, pc = f"cu{r - 1}", f"ccol{r - 1}"
+        parts += [
+            # distinct committed-neighbour colors of each uncolored vertex
+            f"cpr{r} AS MATERIALIZED (SELECT DISTINCT s.src AS vid, c.color "
+            f"FROM cpsym s JOIN {pu} t ON s.src = t.vid "
+            f"JOIN {pc} c ON s.dst = c.vid)",
+            # hub-safe mex: candidates {0} ∪ {c+1}, min not present
+            f"cmx{r} AS MATERIALIZED (SELECT a.vid, min(a.cand) AS color FROM ("
+            f"SELECT vid, 0 AS cand FROM {pu} "
+            f"UNION ALL SELECT vid, color + 1 FROM cpr{r}) a "
+            f"WHERE NOT EXISTS (SELECT 1 FROM cpr{r} p "
+            f"WHERE p.vid = a.vid AND p.color = a.cand) GROUP BY a.vid)",
+            # tentative picks with priorities
+            f"ctx{r} AS MATERIALIZED (SELECT m.vid, u.p, m.color "
+            f"FROM cmx{r} m JOIN {pu} u ON m.vid = u.vid)",
+            # strict struct(p, vid) min over same-color tentative neighbours
+            f"ccl{r} AS MATERIALIZED (SELECT ta.vid, "
+            f"min({{'p': tb.p, 'vid': tb.vid}}) AS mn "
+            f"FROM cpsym s JOIN ctx{r} ta ON s.src = ta.vid "
+            f"JOIN ctx{r} tb ON s.dst = tb.vid AND ta.color = tb.color "
+            f"GROUP BY ta.vid)",
+            f"cwn{r} AS MATERIALIZED (SELECT ta.vid, ta.color FROM ctx{r} ta "
+            f"LEFT JOIN ccl{r} c ON ta.vid = c.vid "
+            f"WHERE c.mn IS NULL OR {{'p': ta.p, 'vid': ta.vid}} < c.mn)",
+            f"ccol{r} AS MATERIALIZED (SELECT vid, color, round FROM {pc} "
+            f"UNION ALL SELECT vid, color, {r} AS round FROM cwn{r})",
+            f"cu{r} AS MATERIALIZED (SELECT u.vid, u.p FROM {pu} u "
+            f"WHERE u.vid NOT IN (SELECT vid FROM cwn{r}))",
+        ]
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f" SELECT vid, color, round FROM ccol{rounds} "
+        f"UNION ALL SELECT vid, -1 AS color, -1 AS round FROM cu{rounds}"
+    )
+
+
 def q_graph_bfs(spark, sf_dir):
     from parrsb_spark.operators.bfs import bfs_distances
     from parrsb_spark.sources.edges import vertices_from_edges
@@ -1902,6 +1972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_truss": q_graph_truss,
         "graph_mis": q_graph_mis,
         "graph_matching": q_graph_matching,
+        "graph_coloring": q_graph_coloring,
         "graph_bfs": q_graph_bfs,
         "graph_sssp": q_graph_sssp,
         "graph_cc": q_graph_cc,
@@ -1965,6 +2036,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_truss": sql_graph_truss(),
         "graph_mis": sql_graph_mis(),
         "graph_matching": sql_graph_matching(),
+        "graph_coloring": sql_graph_coloring(),
         "graph_bfs": sql_graph_bfs(),
         "graph_sssp": sql_graph_sssp(),
         "graph_cc": sql_graph_cc(),
