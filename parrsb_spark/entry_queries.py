@@ -276,6 +276,47 @@ def sql_graph_kcore(k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> str:
     )
 
 
+CORENESS_ROUNDS = 16
+
+
+def q_graph_coreness(spark, sf_dir):
+    """Full core decomposition of the co-purchase graph — every
+    vertex's exact core number via Montresor h-index iteration
+    (monotone integer estimates; the `graph_kcore` row samples one k,
+    this row is the whole profile). Converged rounds are no-ops, so
+    the fixed point equals the CORENESS_ROUNDS-round unrolling."""
+    from parrsb_spark.operators.coreness import coreness
+
+    return coreness(
+        copurchase_edges(spark, sf_dir), max_rounds=CORENESS_ROUNDS
+    ).select("vid", "core")
+
+
+def sql_graph_coreness(rounds: int = CORENESS_ROUNDS) -> str:
+    # coreness.py recurrence verbatim: est0 = degree; per round the
+    # h-index of the neighbour-estimate multiset via distinct-value
+    # counts + a per-vid DESC cumulative (no ties within a vid — the
+    # rows are grouped by (vid, est)), est' = min(est, h)
+    parts = [
+        CP_CTE,
+        CP_SYM_CTE,
+        "ce0 AS MATERIALIZED (SELECT src AS vid, CAST(count(*) AS INTEGER) AS est "
+        "FROM cpsym GROUP BY src)",
+    ]
+    for r in range(1, rounds + 1):
+        p = f"ce{r - 1}"
+        parts += [
+            f"cct{r} AS (SELECT s.dst AS vid, e.est, count(*) AS c "
+            f"FROM cpsym s JOIN {p} e ON s.src = e.vid GROUP BY s.dst, e.est)",
+            f"chx{r} AS (SELECT vid, CAST(max(least(est, c_ge)) AS INTEGER) AS h FROM ("
+            f"SELECT vid, est, sum(c) OVER (PARTITION BY vid ORDER BY est DESC) AS c_ge "
+            f"FROM cct{r}) GROUP BY vid)",
+            f"ce{r} AS MATERIALIZED (SELECT e.vid, least(e.est, h.h) AS est "
+            f"FROM {p} e JOIN chx{r} h ON e.vid = h.vid)",
+        ]
+    return "WITH " + ", ".join(parts) + f" SELECT vid, est AS core FROM ce{rounds}"
+
+
 TRUSS_K = 6
 TRUSS_ROUNDS = 4
 
@@ -529,6 +570,79 @@ def sql_graph_bfs(hops: int = BFS_HOPS) -> str:
             f"LEFT JOIN {p} q ON r.vid = q.vid WHERE q.vid IS NULL)"
         )
     return "WITH " + ", ".join(parts) + f" SELECT vid, dist FROM b{hops}"
+
+
+BC_N_SOURCES = 4
+BC_HOPS = 8
+
+
+def q_graph_betweenness(spark, sf_dir):
+    """k-source exact Brandes betweenness over the bipartite graph
+    (sources = the 4 lowest vids — the Brandes-Pich estimator shape,
+    exact over the source set). σ path counts are exact integers;
+    every δ reduce is an ordered fold (the linkpred determinism
+    discipline), so the row is bitwise partition-independent; forward
+    AND backward run the fixed BC_HOPS levels with empty levels as
+    no-ops (the sssp any-round-bound contract)."""
+    from parrsb_spark.operators.betweenness import betweenness
+    from parrsb_spark.sources.edges import vertices_from_edges
+
+    e = bipartite_edges(spark, sf_dir)
+    srcs = vertices_from_edges(e).orderBy("vid").limit(BC_N_SOURCES)
+    return betweenness(e, srcs, max_hops=BC_HOPS).select("vid", "bc")
+
+
+def sql_graph_betweenness(hops: int = BC_HOPS) -> str:
+    # betweenness.py replayed verbatim: forward σ accumulation per
+    # level, backward ordered-fold dependency per level, final
+    # ordered fold over sources
+    parts = [
+        EG_CTE,
+        VERTS_CTE,
+        SYM_CTE,
+        f"bcsrc AS MATERIALIZED (SELECT vid AS s FROM verts ORDER BY vid LIMIT {BC_N_SOURCES})",
+        "w0 AS (SELECT s, s AS vid, 0 AS dist, CAST(1 AS BIGINT) AS sigma FROM bcsrc)",
+    ]
+    for h in range(1, hops + 1):
+        p = f"w{h - 1}"
+        parts += [
+            f"wn{h} AS MATERIALIZED (SELECT f.s, e.dst AS vid, {h} AS dist, "
+            f"sum(f.sigma) AS sigma FROM {p} f "
+            f"JOIN sym e ON f.vid = e.src AND f.dist = {h - 1} "
+            f"WHERE NOT EXISTS (SELECT 1 FROM {p} q WHERE q.s = f.s AND q.vid = e.dst) "
+            f"GROUP BY f.s, e.dst)",
+            f"w{h} AS MATERIALIZED (SELECT * FROM {p} UNION ALL SELECT * FROM wn{h})",
+        ]
+    W = f"w{hops}"
+    parts.append(
+        f"dl{hops} AS (SELECT s, vid, CAST(0 AS DOUBLE) AS delta "
+        f"FROM {W} WHERE dist = {hops})"
+    )
+    for h in range(hops, 0, -1):
+        parts += [
+            f"dn{h} AS (SELECT p.s, p.u, list_reduce(list_prepend(0.0, "
+            f"list(CAST(p.su AS DOUBLE) / CAST(p.sv AS DOUBLE) * "
+            f"(1.0 + coalesce(d.delta, 0.0)) ORDER BY p.v)), (x, y) -> x + y) AS delta "
+            f"FROM (SELECT lo.s, lo.vid AS u, lo.sigma AS su, hi.vid AS v, hi.sigma AS sv "
+            f"FROM {W} lo JOIN sym e ON lo.vid = e.src AND lo.dist = {h - 1} "
+            f"JOIN {W} hi ON hi.s = lo.s AND hi.vid = e.dst AND hi.dist = {h}) p "
+            f"LEFT JOIN dl{h} d ON d.s = p.s AND d.vid = p.v "
+            f"GROUP BY p.s, p.u)",
+            f"dl{h - 1} AS MATERIALIZED (SELECT t.s, t.vid, "
+            f"coalesce(f.delta, 0.0) AS delta "
+            f"FROM (SELECT s, vid FROM {W} WHERE dist = {h - 1}) t "
+            f"LEFT JOIN dn{h} f ON f.s = t.s AND f.u = t.vid)",
+        ]
+    alld = " UNION ALL ".join(f"SELECT * FROM dl{h}" for h in range(0, hops + 1))
+    parts.append(f"alld AS MATERIALIZED ({alld})")
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + " SELECT v.vid, coalesce(b.bc, 0.0) AS bc FROM verts v LEFT JOIN ("
+        "SELECT vid, list_reduce(list_prepend(0.0, list(delta ORDER BY s)), "
+        "(x, y) -> x + y) AS bc FROM alld WHERE s <> vid GROUP BY vid) b "
+        "ON v.vid = b.vid"
+    )
 
 
 def q_graph_sssp(spark, sf_dir):
@@ -1784,6 +1898,91 @@ def sql_docs_ngram_jaccard(threshold: float = 0.6):
     )
 
 
+DUP_CC_ITERS = 6
+
+
+def q_docs_dup_clusters(spark, sf_dir):
+    """End-to-end duplicate-cluster assignment — the composition a
+    training-data pipeline actually ships: MinHash signatures → banded
+    LSH buckets → exact-Jaccard verify (≥ 0.5) → connected components
+    over the verified pair graph → (doc_id, cluster_id, is_dup) for
+    EVERY document (singletons keep their own id). All-integer until
+    one exact IEEE division; cluster ids are min-doc_id per component,
+    so the row is bitwise deterministic."""
+    from parrsb_spark.operators.components import connected_components
+    from parrsb_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.5, k=8, bands=4)
+    comps = connected_components(
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(comps, docs.doc_id == comps.vid, "left")
+        .select(
+            "doc_id",
+            F.coalesce("comp", "doc_id").alias("cluster_id"),
+            F.col("comp").isNotNull().alias("is_dup"),
+        )
+    )
+
+
+def sql_docs_dup_clusters(k: int = 8, bands: int = 4, cc_iters: int = DUP_CC_ITERS) -> str:
+    # replay of the full pipeline: shingle → K minhash minima (the
+    # docs_minhash machinery) → banded md5 bucket keys → bucket join →
+    # exact-verify 3·common ≥ |A|+|B| (the integer form of
+    # jaccard ≥ 0.5) → min-label CC unrolled (near-dup clusters are
+    # shallow; converged rounds are no-ops)
+    rpb = k // bands
+    mins = ", ".join(
+        f"min((th * {HASH_SALT_A[i]} + {HASH_SALT_B[i]}) % {MOD_P}) AS h{i}"
+        for i in range(k)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS bnd, md5('{b}' || '_' || "
+        + " || '_' || ".join(f"CAST(h{b * rpb + r} AS VARCHAR)" for r in range(rpb))
+        + ") AS bh FROM sig"
+        for b in range(bands)
+    )
+    parts = [
+        "sh AS MATERIALIZED (SELECT DISTINCT doc_id, unnest(list_transform("
+        "range(1, greatest(length(text) - 2, 0) + 1), g -> substr(text, g, 3))) AS sh "
+        "FROM documents)",
+        f"hashed AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT % {MOD_X} AS th FROM sh)",
+        f"sig AS MATERIALIZED (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id)",
+        f"banded AS MATERIALIZED ({band_rows})",
+        "cand AS MATERIALIZED (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b "
+        "FROM banded x JOIN banded y ON x.bnd = y.bnd AND x.bh = y.bh "
+        "AND x.doc_id < y.doc_id)",
+        "sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)",
+        "pairs AS MATERIALIZED (SELECT c.a, c.b FROM ("
+        "SELECT c.a, c.b, count(*) AS common FROM cand c "
+        "JOIN sh p ON c.a = p.doc_id JOIN sh q ON c.b = q.doc_id AND p.sh = q.sh "
+        "GROUP BY c.a, c.b) c "
+        "JOIN sz sa ON c.a = sa.doc_id JOIN sz sb ON c.b = sb.doc_id "
+        "WHERE 3 * c.common >= sa.sz + sb.sz)",
+        "pv AS MATERIALIZED (SELECT a AS vid FROM pairs UNION SELECT b FROM pairs)",
+        "psym AS MATERIALIZED (SELECT a AS src, b AS dst FROM pairs "
+        "UNION ALL SELECT b, a FROM pairs)",
+        "pl0 AS (SELECT vid, vid AS comp FROM pv)",
+    ]
+    for i in range(1, cc_iters + 1):
+        p = f"pl{i - 1}"
+        parts.append(
+            f"pl{i} AS MATERIALIZED (SELECT v.vid, least(v.comp, coalesce(m.mn, v.comp)) AS comp "
+            f"FROM {p} v LEFT JOIN (SELECT s.dst AS vid, min(l.comp) AS mn "
+            f"FROM psym s JOIN {p} l ON s.src = l.vid GROUP BY s.dst) m ON v.vid = m.vid)"
+        )
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f" SELECT d.doc_id, coalesce(l.comp, d.doc_id) AS cluster_id, "
+        f"l.vid IS NOT NULL AS is_dup "
+        f"FROM documents d LEFT JOIN pl{cc_iters} l ON d.doc_id = l.vid"
+    )
+
+
 def q_docs_simhash(spark, sf_dir):
     from parrsb_spark.operators.dedup import simhash
 
@@ -1969,11 +2168,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_hits": q_graph_hits,
         "graph_ppr": q_graph_ppr,
         "graph_kcore": q_graph_kcore,
+        "graph_coreness": q_graph_coreness,
         "graph_truss": q_graph_truss,
         "graph_mis": q_graph_mis,
         "graph_matching": q_graph_matching,
         "graph_coloring": q_graph_coloring,
         "graph_bfs": q_graph_bfs,
+        "graph_betweenness": q_graph_betweenness,
         "graph_sssp": q_graph_sssp,
         "graph_cc": q_graph_cc,
         "graph_cc_dense": q_graph_cc_dense,
@@ -2013,6 +2214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_fingerprint_rolling": q_docs_fingerprint_rolling,
         "docs_minhash": q_docs_minhash,
         "docs_ngram_jaccard": q_docs_ngram_jaccard,
+        "docs_dup_clusters": q_docs_dup_clusters,
         "docs_simhash": q_docs_simhash,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_ann_lsh": q_emb_ann_lsh,
@@ -2033,11 +2235,13 @@ def oracle_sql() -> dict[str, str]:
         "graph_hits": sql_graph_hits(),
         "graph_ppr": sql_graph_ppr(),
         "graph_kcore": sql_graph_kcore(),
+        "graph_coreness": sql_graph_coreness(),
         "graph_truss": sql_graph_truss(),
         "graph_mis": sql_graph_mis(),
         "graph_matching": sql_graph_matching(),
         "graph_coloring": sql_graph_coloring(),
         "graph_bfs": sql_graph_bfs(),
+        "graph_betweenness": sql_graph_betweenness(),
         "graph_sssp": sql_graph_sssp(),
         "graph_cc": sql_graph_cc(),
         "graph_cc_dense": sql_graph_cc_dense(),
@@ -2080,6 +2284,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_fingerprint_rolling": sql_docs_fingerprint_rolling(),
         "docs_minhash": sql_docs_minhash(),
         "docs_ngram_jaccard": sql_docs_ngram_jaccard(),
+        "docs_dup_clusters": sql_docs_dup_clusters(),
         "docs_simhash": sql_docs_simhash(),
         "emb_cosine_topk": sql_emb_cosine_topk(),
         "emb_ann_lsh": sql_emb_ann_lsh(),

@@ -1,0 +1,159 @@
+"""Betweenness centrality — multi-source exact Brandes, k-source form.
+
+Brandes, "A faster algorithm for betweenness centrality" (J. Math.
+Sociol. 2001): for each source s, a BFS forward pass counts shortest
+paths σ_s(v) (exact integers), then a reverse level-by-level pass
+accumulates dependencies δ_s(v) = Σ_{w ∈ succ(v)} σ_s(v)/σ_s(w) ·
+(1 + δ_s(w)); bc(v) = Σ_{s ≠ v} δ_s(v). Exact over the given source
+set — the standard k-source estimator (Brandes & Pich, 2007) when
+sources are a sample, exact betweenness when sources = all vertices.
+All sources run SIMULTANEOUSLY, keyed by (s, vid) — one frontier
+join per BFS level for the whole source set, the multi-source
+pattern of `bfs.py` lifted to per-source path counts.
+
+Determinism discipline (the linkpred lesson): σ values are exact
+bigint sums, but δ is a float recursion — a shuffled float sum would
+be order-dependent. Every δ reduce is therefore an ORDERED FOLD:
+collect the successor terms as structs, `sort_array` on the successor
+id (a total order), and fold with `F.aggregate` — bitwise
+partition-independent, and the DuckDB oracle replays the identical
+fold via `list(... ORDER BY ...)` + `list_reduce`. The final per-
+vertex sum over sources folds in ascending source order the same way.
+
+Scale design:
+- forward: per level ONE frontier⋈edges join + ONE map-side-
+  combinable sum(σ) groupBy on (s, dst) + an anti-join against the
+  settled set — per-source state spreads across (s, vid) keys, so k
+  sources cost k× rows, not k× rounds.
+- backward: per level ONE three-way join building the DAG edges
+  (settled level h-1 ⋈ edges ⋈ settled level h, all keyed with s) +
+  the ordered fold per (s, u). The fold collects ≤ out-degree(u)
+  successor structs — bounded by the BFS DAG's forward degree, the
+  same per-group bound linkpred documents (df-cap the sources or
+  sample hubs when a 10^8-degree vertex sits mid-DAG).
+- `localCheckpoint` per level truncates lineage; the settled/delta
+  state sits on ONE side of each join (linear origin-stats growth).
+- both passes run a FIXED number of levels with empty levels as
+  no-ops, so a fixed-bound unrolled oracle replays the run exactly
+  whether or not the BFS exhausted the graph (the sssp any-round-
+  bound contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from parrsb_spark.functions.spmv import symmetrize
+from parrsb_spark.session import iterative_conf
+
+
+def betweenness(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 12,
+    directed: bool = False,
+) -> DataFrame:
+    """Returns (vid, bc) over every vertex of the graph: the Brandes
+    dependency sum over the given `sources` (a (vid) DataFrame).
+    Unreached vertices score 0.0. Endpoint convention: the source's
+    own δ is excluded (standard Brandes, endpoints not counted)."""
+    spark = edges.sparkSession
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = (edges.select("src", "dst") if directed else symmetrize(edges))
+    e = e.repartition(n_shuffle, "src").cache()
+    verts = (
+        e.select(F.col("src").alias("vid"))
+        .union(e.select(F.col("dst").alias("vid")))
+        .distinct()
+    )
+
+    # forward: settled (s, vid, dist, sigma); frontier = newest level
+    frontier = sources.select(
+        F.col("vid").alias("s"),
+        F.col("vid"),
+        F.lit(0).alias("dist"),
+        F.lit(1).cast("bigint").alias("sigma"),
+    ).localCheckpoint(eager=True)
+    settled = frontier
+    with iterative_conf(spark):
+        for h in range(1, max_hops + 1):
+            if frontier.isEmpty():
+                break
+            nxt = (
+                frontier.join(e, frontier.vid == e.src)
+                .groupBy("s", F.col("dst").alias("vid"))
+                .agg(F.sum("sigma").alias("sigma"))
+                .withColumn("dist", F.lit(h))
+                .join(settled.select("s", "vid"), ["s", "vid"], "left_anti")
+                .select("s", "vid", "dist", "sigma")
+                .localCheckpoint(eager=True)
+            )
+            settled = settled.unionAll(nxt).localCheckpoint(eager=True)
+            frontier = nxt
+
+        # backward: δ per level, from the fixed deepest bound down —
+        # empty levels are no-ops, keeping the run identical to the
+        # fixed-bound unrolled oracle
+        delta = settled.filter(F.col("dist") == max_hops).select(
+            "s", "vid", F.lit(0.0).alias("delta")
+        )
+        deltas = [delta]
+        for h in range(max_hops, 0, -1):
+            lo = settled.filter(F.col("dist") == h - 1).select(
+                "s", F.col("vid").alias("u"), F.col("sigma").alias("su")
+            )
+            hi = settled.filter(F.col("dist") == h).select(
+                "s", F.col("vid").alias("v"), F.col("sigma").alias("sv")
+            )
+            pairs = (
+                lo.join(e, lo.u == e.src)
+                .join(hi, (F.col("dst") == hi.v) & (lo.s == hi.s))
+                .select(lo.s, "u", "su", "v", "sv")
+            )
+            terms = pairs.join(
+                delta.select(F.col("s"), F.col("vid").alias("v"), "delta"),
+                ["s", "v"],
+                "left",
+            ).select(
+                "s", "u", "su", "sv", "v", F.coalesce("delta", F.lit(0.0)).alias("dv")
+            )
+            # ordered fold over successors (v is a total order per (s, u))
+            folded = (
+                terms.groupBy("s", "u")
+                .agg(F.sort_array(F.collect_list(F.struct("v", "su", "sv", "dv"))).alias("tk"))
+                .select(
+                    "s",
+                    F.col("u").alias("vid"),
+                    F.aggregate(
+                        "tk",
+                        F.lit(0.0),
+                        lambda acc, t: acc
+                        + t["su"].cast("double") / t["sv"].cast("double") * (F.lit(1.0) + t["dv"]),
+                    ).alias("delta"),
+                )
+            )
+            delta = (
+                settled.filter(F.col("dist") == h - 1)
+                .select("s", "vid")
+                .join(folded, ["s", "vid"], "left")
+                .select("s", "vid", F.coalesce("delta", F.lit(0.0)).alias("delta"))
+                .localCheckpoint(eager=True)
+            )
+            deltas.append(delta)
+
+    all_delta = None
+    for d in deltas:
+        all_delta = d if all_delta is None else all_delta.unionAll(d)
+    contrib = all_delta.filter(F.col("s") != F.col("vid"))
+    bc = (
+        contrib.groupBy("vid")
+        .agg(F.sort_array(F.collect_list(F.struct("s", "delta"))).alias("tk"))
+        .select(
+            "vid",
+            F.aggregate("tk", F.lit(0.0), lambda acc, t: acc + t["delta"]).alias("bc"),
+        )
+    )
+    return verts.join(bc, "vid", "left").select(
+        "vid", F.coalesce("bc", F.lit(0.0)).alias("bc")
+    )

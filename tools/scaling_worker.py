@@ -245,6 +245,82 @@ elif kernel == "louvain":
     n_comm = louvain_moves(edges, n_rounds=ROUNDS).select("community").distinct().count()
     work = 2 * m * ROUNDS
     extra_fields["n_communities"] = n_comm
+elif kernel == "mis":
+    from parrsb_spark.operators.mis import mis
+
+    # Luby rounds: per round one live-edge join + one combinable
+    # min(struct) + membership anti-joins; the live set shrinks fast,
+    # so the round-1 full-edge pass dominates — work = m x rounds run
+    ROUNDS = 8
+    t0 = time.time()
+    out = mis(edges, max_rounds=ROUNDS)
+    agg = out.selectExpr(
+        "max(round) AS r", "sum(in_mis) AS n_in", "sum(if(in_mis=-1,1,0)) AS und"
+    ).collect()[0]
+    rounds_run = max(1, int(agg["r"] or 1))
+    work = m * rounds_run
+    extra_fields["mis_rounds"] = rounds_run
+    extra_fields["mis_size"] = int(agg["n_in"] or 0)
+    extra_fields["mis_undecided"] = int(agg["und"] or 0)
+elif kernel == "matching":
+    from parrsb_spark.operators.matching import maximal_matching
+
+    # Israeli-Itai handshake with per-round re-randomized priorities:
+    # per round one 2-role explode + one combinable min(struct) + the
+    # handshake equality joins over the shrinking live set
+    ROUNDS = 8
+    t0 = time.time()
+    out = maximal_matching(edges, max_rounds=ROUNDS)
+    agg = out.selectExpr("max(round) AS r", "count(*) AS pairs").collect()[0]
+    rounds_run = max(1, int(agg["r"] or 1))
+    work = m * rounds_run
+    extra_fields["matching_rounds"] = rounds_run
+    extra_fields["matching_pairs"] = int(agg["pairs"] or 0)
+elif kernel == "coloring":
+    from parrsb_spark.operators.coloring import greedy_coloring
+
+    # speculative conflict-retry schedule at a FIXED round bound (the
+    # any-round-bound contract makes the partial result well-defined);
+    # per round: committed-color join + hub-safe mex + conflict min
+    ROUNDS = 6
+    t0 = time.time()
+    out = greedy_coloring(edges, max_rounds=ROUNDS)
+    agg = out.selectExpr(
+        "max(color) AS c", "sum(if(color=-1,1,0)) AS und", "count(*) AS n"
+    ).collect()[0]
+    work = m * ROUNDS
+    extra_fields["coloring_rounds"] = ROUNDS
+    extra_fields["coloring_max_color"] = int(agg["c"] or 0)
+    extra_fields["coloring_uncolored"] = int(agg["und"] or 0)
+elif kernel == "coreness":
+    from parrsb_spark.operators.coreness import coreness
+
+    # h-index iteration at a fixed bound: per round one estimate
+    # attach + distinct-value count + the per-vid window over value
+    # rows + the min update — estimates only decrease
+    ROUNDS = 6
+    t0 = time.time()
+    out = coreness(edges, max_rounds=ROUNDS)
+    agg = out.selectExpr("max(core) AS mx", "count(*) AS n").collect()[0]
+    work = m * ROUNDS
+    extra_fields["coreness_rounds"] = ROUNDS
+    extra_fields["coreness_max"] = int(agg["mx"] or 0)
+elif kernel == "betweenness":
+    from parrsb_spark.operators.betweenness import betweenness
+    from parrsb_spark.sources.edges import vertices_from_edges
+
+    # k-source Brandes: forward sigma levels + backward ordered-fold
+    # delta levels, all sources simultaneous — work = m x sources x 2
+    # passes (each pass touches each edge once per source in the
+    # frontier union)
+    K_SRC, HOPS = 4, 6
+    srcs = vertices_from_edges(edges).orderBy("vid").limit(K_SRC)
+    t0 = time.time()
+    out = betweenness(edges, srcs, max_hops=HOPS)
+    agg = out.selectExpr("sum(bc) AS s", "count(*) AS n").collect()[0]
+    work = m * K_SRC * 2
+    extra_fields["bc_sources"] = K_SRC
+    extra_fields["bc_sum"] = round(float(agg["s"] or 0.0), 3)
 elif kernel == "truss":
     from parrsb_spark.operators.truss import truss
 
