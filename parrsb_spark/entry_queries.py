@@ -276,6 +276,49 @@ def sql_graph_kcore(k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> str:
     )
 
 
+KATZ_ALPHA = 0.01
+KATZ_ROUNDS = 6
+
+
+def q_graph_katz(spark, sf_dir):
+    """Round-6 truncated Katz centrality over the co-purchase graph.
+    Walk counts are exact decimal(38,0) integers; α^k enters once per
+    round in a fixed per-vertex scalar accumulation, so the row is
+    BITWISE deterministic — no round-8 float gate (the determinism
+    upgrade the truncated-polynomial form allows over the
+    pagerank/hits recursive oracles)."""
+    from parrsb_spark.operators.katz import katz_centrality
+
+    return katz_centrality(
+        copurchase_edges(spark, sf_dir), alpha=KATZ_ALPHA, rounds=KATZ_ROUNDS
+    ).select("vid", "katz")
+
+
+def sql_graph_katz(alpha: float = KATZ_ALPHA, rounds: int = KATZ_ROUNDS) -> str:
+    # katz.py replayed verbatim: exact integer walk-count gathers in
+    # decimal(38,0), ascending-k scalar accumulation with the SAME
+    # double literals (repr round-trips bitwise)
+    parts = [
+        CP_CTE,
+        CP_VERTS_CTE,
+        CP_SYM_CTE,
+        "kz0 AS MATERIALIZED (SELECT vid, CAST(1 AS DECIMAL(38,0)) AS w, "
+        "0.0 AS katz FROM cpverts)",
+    ]
+    for k in range(1, rounds + 1):
+        p = f"kz{k - 1}"
+        coef = repr(alpha ** k)
+        parts += [
+            f"kg{k} AS (SELECT s.dst AS vid, CAST(sum(e.w) AS DECIMAL(38,0)) AS wn "
+            f"FROM cpsym s JOIN {p} e ON s.src = e.vid GROUP BY s.dst)",
+            f"kz{k} AS MATERIALIZED (SELECT e.vid, "
+            f"coalesce(g.wn, CAST(0 AS DECIMAL(38,0))) AS w, "
+            f"e.katz + {coef} * CAST(coalesce(g.wn, CAST(0 AS DECIMAL(38,0))) AS DOUBLE) AS katz "
+            f"FROM {p} e LEFT JOIN kg{k} g ON e.vid = g.vid)",
+        ]
+    return "WITH " + ", ".join(parts) + f" SELECT vid, katz FROM kz{rounds}"
+
+
 CORENESS_ROUNDS = 16
 
 
@@ -2169,6 +2212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_ppr": q_graph_ppr,
         "graph_kcore": q_graph_kcore,
         "graph_coreness": q_graph_coreness,
+        "graph_katz": q_graph_katz,
         "graph_truss": q_graph_truss,
         "graph_mis": q_graph_mis,
         "graph_matching": q_graph_matching,
@@ -2236,6 +2280,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_ppr": sql_graph_ppr(),
         "graph_kcore": sql_graph_kcore(),
         "graph_coreness": sql_graph_coreness(),
+        "graph_katz": sql_graph_katz(),
         "graph_truss": sql_graph_truss(),
         "graph_mis": sql_graph_mis(),
         "graph_matching": sql_graph_matching(),
