@@ -292,6 +292,19 @@ elif kernel == "coloring":
     extra_fields["coloring_rounds"] = ROUNDS
     extra_fields["coloring_max_color"] = int(agg["c"] or 0)
     extra_fields["coloring_uncolored"] = int(agg["und"] or 0)
+elif kernel == "katz":
+    from parrsb_spark.operators.katz import katz_centrality
+
+    # truncated-polynomial Katz: pagerank's plan shape with exact
+    # decimal walk counts — one gather + one keyed state join per round
+    ROUNDS = 6
+    t0 = time.time()
+    agg = katz_centrality(edges, alpha=0.01, rounds=ROUNDS).selectExpr(
+        "sum(katz) AS s"
+    ).collect()[0]
+    work = m * ROUNDS
+    extra_fields["katz_rounds"] = ROUNDS
+    extra_fields["katz_sum"] = float(agg["s"] or 0.0)
 elif kernel == "coreness":
     from parrsb_spark.operators.coreness import coreness
 
