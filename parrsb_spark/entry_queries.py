@@ -2203,6 +2203,7 @@ def sql_mm_image_meta():
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pages_edges": q_pages_edges,
+        "pages_text_digest": q_pages_text_digest,
         "pages_host_graph": q_pages_host_graph,
         "host_pagerank": q_host_pagerank,
         "graph_edges": q_graph_edges,
@@ -2271,6 +2272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "pages_edges": sql_pages_edges(),
+        "pages_text_digest": sql_pages_text_digest(),
         "pages_host_graph": sql_pages_host_graph(),
         "host_pagerank": sql_host_pagerank(),
         "graph_edges": sql_graph_edges(),
@@ -2369,6 +2371,32 @@ def sql_pages_edges():
             pairs.add((vid[page_url(i)], vid[t]))
     vals = ", ".join(f"({a}, {b})" for a, b in sorted(pairs))
     return f"SELECT * FROM (VALUES {vals}) t(src, dst)"
+
+
+def q_pages_text_digest(spark, sf_dir):
+    """The north rule's per-row invariant, driver-gated: extracted
+    text must be BYTE-IDENTICAL per url. The distributed mapInPandas
+    extraction's md5(text) per url is hash-compared against a
+    VALUES-table oracle enumerated by the SAME pure-Python extractor
+    the reference contract names — any single-byte extraction drift
+    on any url fails the row."""
+    from parrsb_spark.sources.pages import synth_pages
+
+    return synth_pages(spark, PAGES_N, m=PAGES_M, seed=PAGES_SEED).select(
+        "url", F.md5(F.col("text").cast("binary")).alias("text_md5")
+    )
+
+
+def sql_pages_text_digest():
+    import hashlib
+
+    from parrsb_spark.sources.pages import page_text, page_url
+
+    vals = ", ".join(
+        f"('{page_url(i)}', '{hashlib.md5(page_text(i, PAGES_N, PAGES_M, PAGES_SEED).encode()).hexdigest()}')"
+        for i in range(PAGES_N)
+    )
+    return f"SELECT * FROM (VALUES {vals}) t(url, text_md5)"
 
 
 def q_pages_host_graph(spark, sf_dir):
