@@ -635,10 +635,53 @@ def q_graph_betweenness(spark, sf_dir):
     return betweenness(e, srcs, max_hops=BC_HOPS).select("vid", "bc")
 
 
+def q_graph_edge_betweenness(spark, sf_dir):
+    """Girvan–Newman edge betweenness over the bipartite graph, same
+    source set and discipline as `graph_betweenness` — every BFS-DAG
+    edge's dependency term folded per canonical edge in ascending
+    (source, orientation) order; bitwise partition-independent."""
+    from parrsb_spark.operators.betweenness import edge_betweenness
+    from parrsb_spark.sources.edges import vertices_from_edges
+
+    e = bipartite_edges(spark, sf_dir)
+    srcs = vertices_from_edges(e).orderBy("vid").limit(BC_N_SOURCES)
+    return edge_betweenness(e, srcs, max_hops=BC_HOPS).select("u", "v", "ebc")
+
+
+def sql_graph_edge_betweenness(hops: int = BC_HOPS) -> str:
+    parts = _bc_cte_parts(hops)
+    allet = " UNION ALL ".join(f"SELECT * FROM et{h}" for h in range(1, hops + 1))
+    parts.append(f"allet AS MATERIALIZED ({allet})")
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + " SELECT e.u, e.v, coalesce(f.ebc, 0.0) AS ebc FROM "
+        "(SELECT src AS u, dst AS v FROM sym WHERE src < dst) e LEFT JOIN ("
+        "SELECT least(u, v) AS a, greatest(u, v) AS b, "
+        "list_reduce(list_prepend(0.0, list(term ORDER BY s, u, term)), "
+        "(x, y) -> x + y) AS ebc FROM allet GROUP BY a, b) f "
+        "ON e.u = f.a AND e.v = f.b"
+    )
+
+
 def sql_graph_betweenness(hops: int = BC_HOPS) -> str:
+    parts = _bc_cte_parts(hops)
+    alld = " UNION ALL ".join(f"SELECT * FROM dl{h}" for h in range(0, hops + 1))
+    parts.append(f"alld AS MATERIALIZED ({alld})")
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + " SELECT v.vid, coalesce(b.bc, 0.0) AS bc FROM verts v LEFT JOIN ("
+        "SELECT vid, list_reduce(list_prepend(0.0, list(delta ORDER BY s)), "
+        "(x, y) -> x + y) AS bc FROM alld WHERE s <> vid GROUP BY vid) b "
+        "ON v.vid = b.vid"
+    )
+
+
+def _bc_cte_parts(hops: int) -> list[str]:
     # betweenness.py replayed verbatim: forward σ accumulation per
-    # level, backward ordered-fold dependency per level, final
-    # ordered fold over sources
+    # level, backward per-DAG-edge terms (et) + ordered-fold vertex
+    # dependency (dl) per level — shared by the vertex and edge rows
     parts = [
         EG_CTE,
         VERTS_CTE,
@@ -663,29 +706,22 @@ def sql_graph_betweenness(hops: int = BC_HOPS) -> str:
     )
     for h in range(hops, 0, -1):
         parts += [
-            f"dn{h} AS (SELECT p.s, p.u, list_reduce(list_prepend(0.0, "
-            f"list(CAST(p.su AS DOUBLE) / CAST(p.sv AS DOUBLE) * "
-            f"(1.0 + coalesce(d.delta, 0.0)) ORDER BY p.v)), (x, y) -> x + y) AS delta "
+            f"et{h} AS MATERIALIZED (SELECT p.s, p.u, p.v, "
+            f"CAST(p.su AS DOUBLE) / CAST(p.sv AS DOUBLE) * "
+            f"(1.0 + coalesce(d.delta, 0.0)) AS term "
             f"FROM (SELECT lo.s, lo.vid AS u, lo.sigma AS su, hi.vid AS v, hi.sigma AS sv "
             f"FROM {W} lo JOIN sym e ON lo.vid = e.src AND lo.dist = {h - 1} "
             f"JOIN {W} hi ON hi.s = lo.s AND hi.vid = e.dst AND hi.dist = {h}) p "
-            f"LEFT JOIN dl{h} d ON d.s = p.s AND d.vid = p.v "
-            f"GROUP BY p.s, p.u)",
+            f"LEFT JOIN dl{h} d ON d.s = p.s AND d.vid = p.v)",
+            f"dn{h} AS (SELECT s, u, list_reduce(list_prepend(0.0, "
+            f"list(term ORDER BY v)), (x, y) -> x + y) AS delta "
+            f"FROM et{h} GROUP BY s, u)",
             f"dl{h - 1} AS MATERIALIZED (SELECT t.s, t.vid, "
             f"coalesce(f.delta, 0.0) AS delta "
             f"FROM (SELECT s, vid FROM {W} WHERE dist = {h - 1}) t "
             f"LEFT JOIN dn{h} f ON f.s = t.s AND f.u = t.vid)",
         ]
-    alld = " UNION ALL ".join(f"SELECT * FROM dl{h}" for h in range(0, hops + 1))
-    parts.append(f"alld AS MATERIALIZED ({alld})")
-    return (
-        "WITH "
-        + ", ".join(parts)
-        + " SELECT v.vid, coalesce(b.bc, 0.0) AS bc FROM verts v LEFT JOIN ("
-        "SELECT vid, list_reduce(list_prepend(0.0, list(delta ORDER BY s)), "
-        "(x, y) -> x + y) AS bc FROM alld WHERE s <> vid GROUP BY vid) b "
-        "ON v.vid = b.vid"
-    )
+    return parts
 
 
 def q_graph_sssp(spark, sf_dir):
@@ -2220,6 +2256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_coloring": q_graph_coloring,
         "graph_bfs": q_graph_bfs,
         "graph_betweenness": q_graph_betweenness,
+        "graph_edge_betweenness": q_graph_edge_betweenness,
         "graph_sssp": q_graph_sssp,
         "graph_cc": q_graph_cc,
         "graph_cc_dense": q_graph_cc_dense,
@@ -2289,6 +2326,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_coloring": sql_graph_coloring(),
         "graph_bfs": sql_graph_bfs(),
         "graph_betweenness": sql_graph_betweenness(),
+        "graph_edge_betweenness": sql_graph_edge_betweenness(),
         "graph_sssp": sql_graph_sssp(),
         "graph_cc": sql_graph_cc(),
         "graph_cc_dense": sql_graph_cc_dense(),

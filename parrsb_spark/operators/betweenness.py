@@ -48,25 +48,14 @@ from parrsb_spark.functions.spmv import symmetrize
 from parrsb_spark.session import iterative_conf
 
 
-def betweenness(
-    edges: DataFrame,
-    sources: DataFrame,
-    max_hops: int = 12,
-    directed: bool = False,
-) -> DataFrame:
-    """Returns (vid, bc) over every vertex of the graph: the Brandes
-    dependency sum over the given `sources` (a (vid) DataFrame).
-    Unreached vertices score 0.0. Endpoint convention: the source's
-    own δ is excluded (standard Brandes, endpoints not counted)."""
-    spark = edges.sparkSession
-    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    e = (edges.select("src", "dst") if directed else symmetrize(edges))
-    e = e.repartition(n_shuffle, "src").cache()
-    verts = (
-        e.select(F.col("src").alias("vid"))
-        .union(e.select(F.col("dst").alias("vid")))
-        .distinct()
-    )
+def _brandes_passes(e: DataFrame, sources: DataFrame, max_hops: int):
+    """Shared forward+backward Brandes machinery. Returns
+    (delta_levels, term_levels): per-level vertex dependencies
+    (s, vid, delta) and per-level DAG-edge terms
+    (s, u, v, term) with term = σ_u/σ_v · (1 + δ_v) — the edge's
+    dependency contribution, which vertex betweenness folds per (s, u)
+    and edge betweenness (Girvan–Newman) folds per canonical edge."""
+    spark = e.sparkSession
 
     # forward: settled (s, vid, dist, sigma); frontier = newest level
     frontier = sources.select(
@@ -99,6 +88,7 @@ def betweenness(
             "s", "vid", F.lit(0.0).alias("delta")
         )
         deltas = [delta]
+        term_levels = []
         for h in range(max_hops, 0, -1):
             lo = settled.filter(F.col("dist") == h - 1).select(
                 "s", F.col("vid").alias("u"), F.col("sigma").alias("su")
@@ -117,6 +107,17 @@ def betweenness(
                 "left",
             ).select(
                 "s", "u", "su", "sv", "v", F.coalesce("delta", F.lit(0.0)).alias("dv")
+            )
+            term_levels.append(
+                terms.select(
+                    "s",
+                    "u",
+                    "v",
+                    (
+                        F.col("su").cast("double") / F.col("sv").cast("double")
+                        * (F.lit(1.0) + F.col("dv"))
+                    ).alias("term"),
+                ).localCheckpoint(eager=True)
             )
             # ordered fold over successors (v is a total order per (s, u))
             folded = (
@@ -142,6 +143,34 @@ def betweenness(
             )
             deltas.append(delta)
 
+    return deltas, term_levels
+
+
+def _prep(edges: DataFrame, directed: bool):
+    spark = edges.sparkSession
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = (edges.select("src", "dst") if directed else symmetrize(edges))
+    e = e.repartition(n_shuffle, "src").cache()
+    verts = (
+        e.select(F.col("src").alias("vid"))
+        .union(e.select(F.col("dst").alias("vid")))
+        .distinct()
+    )
+    return e, verts
+
+
+def betweenness(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 12,
+    directed: bool = False,
+) -> DataFrame:
+    """Returns (vid, bc) over every vertex of the graph: the Brandes
+    dependency sum over the given `sources` (a (vid) DataFrame).
+    Unreached vertices score 0.0. Endpoint convention: the source's
+    own δ is excluded (standard Brandes, endpoints not counted)."""
+    e, verts = _prep(edges, directed)
+    deltas, _ = _brandes_passes(e, sources, max_hops)
     all_delta = None
     for d in deltas:
         all_delta = d if all_delta is None else all_delta.unionAll(d)
@@ -156,4 +185,44 @@ def betweenness(
     )
     return verts.join(bc, "vid", "left").select(
         "vid", F.coalesce("bc", F.lit(0.0)).alias("bc")
+    )
+
+
+def edge_betweenness(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 12,
+) -> DataFrame:
+    """Returns (u, v, ebc) — Girvan–Newman edge betweenness over the
+    undirected graph for the given source set: every BFS-DAG edge's
+    dependency term σ_u/σ_v·(1+δ_v) folded per canonical (u < v) edge
+    in ascending (s, then DAG orientation) order — the same bitwise
+    ordered-fold contract as the vertex kernel. Edges on no shortest
+    path from any source score 0.0."""
+    e, _ = _prep(edges, directed=False)
+    _, term_levels = _brandes_passes(e, sources, max_hops)
+    allt = None
+    for t in term_levels:
+        allt = t if allt is None else allt.unionAll(t)
+    canon = allt.select(
+        F.least("u", "v").alias("a"),
+        F.greatest("u", "v").alias("b"),
+        "s",
+        "u",
+        "term",
+    )
+    folded = (
+        canon.groupBy("a", "b")
+        .agg(F.sort_array(F.collect_list(F.struct("s", "u", "term"))).alias("tk"))
+        .select(
+            F.col("a").alias("u"),
+            F.col("b").alias("v"),
+            F.aggregate("tk", F.lit(0.0), lambda acc, t: acc + t["term"]).alias("ebc"),
+        )
+    )
+    und = e.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    )
+    return und.join(folded, ["u", "v"], "left").select(
+        "u", "v", F.coalesce("ebc", F.lit(0.0)).alias("ebc")
     )

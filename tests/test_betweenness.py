@@ -104,3 +104,81 @@ def test_bc_disconnected_scores_zero(spark):
     got = {r["vid"]: r["bc"] for r in betweenness(e, srcs, max_hops=6).collect()}
     # single source 1 on path 1-2-3: δ(2) = σ2/σ3 · (1+δ3) = 1.0
     assert got[10] == 0.0 and got[11] == 0.0 and got[2] == 1.0
+
+
+def _brandes_edges(edges, sources):
+    from collections import defaultdict, deque
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    eb = defaultdict(float)
+    for s in sources:
+        S, P = [], defaultdict(list)
+        sigma, dist = defaultdict(int), {s: 0}
+        sigma[s] = 1
+        Q = deque([s])
+        while Q:
+            v = Q.popleft()
+            S.append(v)
+            for w in adj[v]:
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    Q.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+                    P[w].append(v)
+        delta = defaultdict(float)
+        while S:
+            w = S.pop()
+            for v in P[w]:
+                t = sigma[v] / sigma[w] * (1 + delta[w])
+                delta[v] += t
+                eb[(min(v, w), max(v, w))] += t
+    return dict(eb)
+
+
+def _check_edges(spark, edges, k=4, max_hops=10):
+    from parrsb_spark.operators.betweenness import edge_betweenness
+
+    e = spark.createDataFrame(edges, "src long, dst long")
+    verts = sorted({v for p in edges for v in p})
+    sdf = spark.createDataFrame([(v,) for v in verts[:k]], "vid long")
+    got = {(r["u"], r["v"]): r["ebc"]
+           for r in edge_betweenness(e, sdf, max_hops=max_hops).collect()}
+    exp = _brandes_edges(edges, verts[:k])
+    for p in set(got) | set(exp):
+        assert abs(got.get(p, 0.0) - exp.get(p, 0.0)) < 1e-9, (p, got.get(p), exp.get(p))
+    return got
+
+
+def test_edge_bc_bridge_dominates(spark):
+    # two triangles joined by a bridge: the bridge carries every
+    # cross-component pair — the Girvan-Newman cut signal
+    edges = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    got = _check_edges(spark, edges, k=6)
+    assert got[(3, 4)] == max(got.values())
+
+
+def test_edge_bc_diamond_and_er(spark):
+    _check_edges(spark, [(1, 2), (1, 3), (2, 4), (3, 4), (4, 5)], k=5)
+    random.seed(21)
+    es = list({(random.randrange(22), random.randrange(22)) for _ in range(55)})
+    es = [(a, b) for a, b in es if a != b]
+    _check_edges(spark, es, k=5)
+
+
+def test_edge_bc_layout_independence_bitwise(spark):
+    from parrsb_spark.operators.betweenness import edge_betweenness
+
+    random.seed(23)
+    es = list({(random.randrange(25), random.randrange(25)) for _ in range(60)})
+    es = [(a, b) for a, b in es if a != b]
+    base = spark.createDataFrame(es, "src long, dst long")
+    srcs = spark.createDataFrame(
+        [(v,) for v in sorted({x for p in es for x in p})[:4]], "vid long")
+    a = {tuple(r) for r in edge_betweenness(base, srcs).collect()}
+    b = {tuple(r) for r in edge_betweenness(base.repartition(5, "dst"), srcs).collect()}
+    assert a == b
