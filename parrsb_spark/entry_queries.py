@@ -858,7 +858,22 @@ def q_graph_assortativity(spark, sf_dir):
     by design; see operators/graphstats.py."""
     from parrsb_spark.operators.graphstats import degree_assortativity
 
-    return degree_assortativity(copurchase_edges(spark, sf_dir))
+    out = degree_assortativity(copurchase_edges(spark, sf_dir))
+    # Engine-boundary type parity (round-5 driver red row): the kernel
+    # accumulates the sums as decimal(38,0) (overflow-safe at 10^12
+    # edges), but DuckDB's HUGEINT comes back to Python as int while
+    # Spark's decimal comes back as Decimal — same VALUE, different
+    # repr, and the driver hashes stricter than the 9-digit normalizer.
+    # At the correctness scale factors every sum fits comfortably in
+    # int64 (s_xy < 10^15 at sf0.1), so the QUERY SURFACE casts to
+    # bigint; the kernel itself keeps the exact decimal arithmetic.
+    return out.select(
+        "m",
+        F.col("s_x").cast("long").alias("s_x"),
+        F.col("s_xy").cast("long").alias("s_xy"),
+        F.col("s_xx").cast("long").alias("s_xx"),
+        "r",
+    )
 
 
 def sql_graph_assortativity() -> str:

@@ -36,9 +36,13 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
-def shingles(docs: DataFrame, n: int = NGRAM) -> DataFrame:
-    """(doc_id, sh) — distinct character n-grams (JVM-side sequence+substring,
-    no Python)."""
+def shingle_arrays(docs: DataFrame, n: int = NGRAM) -> DataFrame:
+    """(doc_id, shs) — each doc's DISTINCT character n-grams as ONE array
+    column. The distinct is `array_distinct` WITHIN the row (all of a
+    doc's shingles live in its own text cell), so the shingle set costs
+    ZERO shuffles — round 5 paid a full exchange of the exploded
+    (doc_id, sh) stream for the same set (guide §2.4: a `distinct` on
+    data whose duplicates never cross rows needs no exchange)."""
     # guard: Spark's sequence(1, 0) counts DOWN ([1, 0]); emit an empty
     # array for texts shorter than n instead
     idxs = F.when(
@@ -46,8 +50,17 @@ def shingles(docs: DataFrame, n: int = NGRAM) -> DataFrame:
     ).otherwise(F.array().cast("array<int>"))
     return docs.select(
         "doc_id",
-        F.explode(F.transform(idxs, lambda i: F.col("text").substr(i, F.lit(n)))).alias("sh"),
-    ).distinct()
+        F.array_distinct(
+            F.transform(idxs, lambda i: F.col("text").substr(i, F.lit(n)))
+        ).alias("shs"),
+    )
+
+
+def shingles(docs: DataFrame, n: int = NGRAM) -> DataFrame:
+    """(doc_id, sh) — distinct character n-grams (JVM-side sequence+substring,
+    no Python). Exploded view of `shingle_arrays` — per-row distinct,
+    no exchange in the plan."""
+    return shingle_arrays(docs, n).select("doc_id", F.explode("shs").alias("sh"))
 
 
 def ngram_jaccard_pairs(
@@ -108,17 +121,43 @@ def minhash_signatures(
     docs: DataFrame, k: int = MINHASH_K, n: int = NGRAM, shingles_df: DataFrame | None = None
 ) -> DataFrame:
     """(doc_id, h0..h{k-1}) — K universal-hash minima over the shingle set.
-    One explode + ONE groupBy computing all K minima (k aggregate columns,
-    map-side combined — no K-pass scan). Pass `shingles_df` (a cached
-    shingle set) to share the shingle scan with a verify path."""
-    sh = shingles_df if shingles_df is not None else shingles(docs, n)
-    th = (md5_long_col(F.col("sh")) % MOD_X).alias("th")
-    base = sh.select("doc_id", th)
-    aggs = [
-        F.min((F.col("th") * HASH_SALT_A[i] + HASH_SALT_B[i]) % MOD_P).alias(f"h{i}")
+
+    ZERO-shuffle form: a doc's shingles live in one array cell
+    (`shingle_arrays`), so every minimum is `array_min` over a
+    `transform` — pure whole-stage codegen, no explode, no exchange
+    anywhere in the signature plan (round 5 paid the shingle-distinct
+    exchange plus a K-column hash aggregate for the same values; the
+    docs with an empty shingle set are absent either way — the groupBy
+    had no rows for them, the array path filters size = 0).
+
+    Pass `shingles_df` (an exploded, cached (doc_id, sh) set) to share
+    a scan with a caller that needs the exploded view — that path keeps
+    the groupBy shape."""
+    if shingles_df is not None:
+        th = (md5_long_col(F.col("sh")) % MOD_X).alias("th")
+        base = shingles_df.select("doc_id", th)
+        aggs = [
+            F.min((F.col("th") * HASH_SALT_A[i] + HASH_SALT_B[i]) % MOD_P).alias(f"h{i}")
+            for i in range(k)
+        ]
+        return base.groupBy("doc_id").agg(*aggs)
+    return _signatures_from_arrays(shingle_arrays(docs, n), k)
+
+
+def _signatures_from_arrays(sharr: DataFrame, k: int) -> DataFrame:
+    """(doc_id, h0..h{k-1}) from (doc_id, shs) — the JVM-only min pass."""
+    ths = F.transform("shs", lambda s: md5_long_col(s) % MOD_X)
+    sig_cols = [
+        F.array_min(
+            F.transform("_ths", lambda t: (t * HASH_SALT_A[i] + HASH_SALT_B[i]) % MOD_P)
+        ).alias(f"h{i}")
         for i in range(k)
     ]
-    return base.groupBy("doc_id").agg(*aggs)
+    return (
+        sharr.where(F.size("shs") > 0)
+        .withColumn("_ths", ths)
+        .select("doc_id", *sig_cols)
+    )
 
 
 def minhash_lsh_pairs(
@@ -140,20 +179,30 @@ def minhash_lsh_pairs(
     pairs — the same block decomposition checks.mirror_pairs builds
     explicitly. The m² pairs themselves are the intended output of a
     near-dup cluster, not waste."""
-    # ONE cached shingle set feeds BOTH the signature path and the exact
-    # verify path (round 2 computed the explode+distinct twice)
-    sh = shingles(docs, n).cache()
-    sig = minhash_signatures(docs, k, n, shingles_df=sh)
+    # ONE cached per-doc shingle ARRAY feeds both the signature path and
+    # the exact verify path. Round-5 shape: exploded (doc_id, sh) rows —
+    # a full distinct exchange up front, a K-column hash aggregate for
+    # the signatures, and a two-join inverted index over the WHOLE
+    # exploded stream for the verify. Array shape: the shingle set, the
+    # K minima and the |A∩B| intersection are all per-row JVM
+    # expressions (guide §2.3/§2.4 — shuffle keys and metadata, not the
+    # payload stream), so the only exchanges left are the band-bucket
+    # equi-join and the candidate joins, and the verify ships ONLY
+    # candidate docs' arrays instead of the full inverted index.
+    sharr = shingle_arrays(docs, n).where(F.size("shs") > 0).cache()
+    # banded band keys, cached: the bucket self-join scans it twice and
+    # would otherwise recompute the md5-per-shingle signature pass per side
     rows_per_band = k // bands
+    sig = _signatures_from_arrays(sharr, k)
     band_structs = []
     for bnd in range(bands):
         cols = [F.col(f"h{bnd * rows_per_band + r}") for r in range(rows_per_band)]
         bh = F.md5(F.concat_ws("_", F.lit(bnd), *[c.cast("string") for c in cols]))
         band_structs.append(F.struct(F.lit(bnd).alias("bnd"), bh.alias("bh")))
-    # one explode + ONE self-join on the band key (instead of `bands`
-    # separate self-joins unioned — fewer shuffles, same candidates)
-    banded = sig.select("doc_id", F.explode(F.array(*band_structs)).alias("b")).select(
-        "doc_id", F.col("b.bnd").alias("bnd"), F.col("b.bh").alias("bh")
+    banded = (
+        sig.select("doc_id", F.explode(F.array(*band_structs)).alias("b"))
+        .select("doc_id", F.col("b.bnd").alias("bnd"), F.col("b.bh").alias("bh"))
+        .cache()
     )
     cand = (
         banded.select(F.col("doc_id").alias("a"), "bnd", "bh")
@@ -162,17 +211,27 @@ def minhash_lsh_pairs(
         .select("a", "b")
         .distinct()
     )
-    # exact verify on candidates only (same cached shingle set as above)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    pa = sh.select(F.col("doc_id").alias("a"), "sh")
-    pb = sh.select(F.col("doc_id").alias("b"), "sh")
+    # exact verify on candidates only: attach the two shingle arrays and
+    # intersect in-row (arrays are per-doc distinct, so
+    # size(array_intersect) IS the common count)
     common = (
-        cand.join(pa, "a").join(pb, ["b", "sh"]).groupBy("a", "b").agg(F.count("*").alias("common"))
+        cand.join(sharr.select(F.col("doc_id").alias("a"), F.col("shs").alias("_sha")), "a")
+        .join(sharr.select(F.col("doc_id").alias("b"), F.col("shs").alias("_shb")), "b")
+        .select(
+            "a",
+            "b",
+            F.size(F.array_intersect("_sha", "_shb")).alias("common"),
+            F.size("_sha").alias("sza"),
+            F.size("_shb").alias("szb"),
+        )
     )
     return (
-        common.join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "sza"), "a")
-        .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "szb"), "b")
-        .withColumn("jaccard", F.col("common") / (F.col("sza") + F.col("szb") - F.col("common")))
+        common.filter(F.col("common") > 0)  # inner-join parity of the
+        # round-5 inverted index: a candidate pair sharing no shingle
+        # never appeared there either (matters only at threshold ≤ 0)
+        .withColumn(
+            "jaccard", F.col("common") / (F.col("sza") + F.col("szb") - F.col("common"))
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
     )

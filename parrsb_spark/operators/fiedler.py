@@ -919,6 +919,22 @@ def _lanczos_pass(spmv_fn, state, sizes, opts):
         if not any(active.values()):
             break
         st = spmv_fn(state, "u")  # _Lq = L·u
+        # Checkpoint the SpMV RESULT (lazily — the very next reduction
+        # job materializes it), and derive the next state as a NARROW
+        # projection over those persisted blocks. Round 5 checkpointed
+        # the post-update state instead, so every iteration's
+        # gather-scatter executed TWICE: once under this reduction's
+        # collect, and again when the next iteration materialized the
+        # state checkpoint (separate actions plan separate exchanges —
+        # guide §2.4's "remove shuffles outright", here a whole
+        # duplicated shuffle pair per iteration).
+        if opts.spmv_impl == "csr_arrow":
+            # cogroup plans carry the state on both join sides — sever
+            # stats fully or the carried sizeInBytes squares per
+            # iteration (see session.hard_truncate)
+            st = _hard_truncate(st)
+        else:
+            st = st.localCheckpoint(eager=False)
         # ONE reduction per iteration (the single comm_allreduce analogue)
         a_rows = {
             r["grp"]: r
@@ -975,6 +991,9 @@ def _lanczos_pass(spmv_fn, state, sizes, opts):
             - b_col * F.col("qprev")
             - sc["mu"]
         )
+        # no checkpoint here: st IS the iteration's persisted table, and
+        # this projection over its blocks is recomputed narrowly (no
+        # shuffle) wherever the next iteration's plan consumes it
         state = st.select(
             "vid",
             "grp",
@@ -983,13 +1002,6 @@ def _lanczos_pass(spmv_fn, state, sizes, opts):
             F.when(updc, new_q).otherwise(F.col("qprev")).alias("qprev"),
             F.when(updc, F.concat(F.col("qs"), F.array(new_q))).otherwise(F.col("qs")).alias("qs"),
         )
-        if opts.spmv_impl == "csr_arrow":
-            # the cogroup plan carries the state on both join sides, so a
-            # plain checkpoint would square the carried sizeInBytes every
-            # iteration (see session.hard_truncate) — sever fully instead
-            state = _hard_truncate(state)
-        else:
-            state = state.localCheckpoint(eager=False)
     return state, alphas, betas, updates
 
 

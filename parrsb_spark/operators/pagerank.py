@@ -12,16 +12,19 @@ Scale design:
 - `edges` is the loop-invariant side: hash-partitioned on src once and
   cached; the per-iteration join then only exchanges the (small) state.
 - the dangling mass stays ON THE CLUSTER as a broadcast one-row
-  aggregate (no driver round-trip per iteration): iterations chain
-  lazily and only hit an action at checkpoint boundaries, so a burst of
-  `chain` iterations is ONE Spark job of fused SpMV rounds. chain=2 is
-  the measured sweet spot: the dangling subtree of the second iteration
-  re-derives the first (ReuseExchange does not collapse it across the
-  broadcast boundary), so deeper chains recompute quadratically while
-  chain=2 still halves the job count — 3x faster than chain=1, 4x
-  faster than chain=4 on a 16M-edge graph.
-- localCheckpoint every `chain` iterations truncates the logical plan
-  (mandatory in iterative Spark, SURVEY.md §7).
+  aggregate (no driver round-trip per iteration); every iteration ends
+  in a LAZY localCheckpoint, and the NEXT iteration's dangling
+  broadcast job is what materializes it — so each SpMV executes exactly
+  once and the logical plan stays flat. (Round 5 checkpointed only at
+  `chain`-burst boundaries; inside a burst the broadcast subtree
+  re-derived the previous iteration's whole gather-scatter, because
+  ReuseExchange does not collapse duplicate subtrees across a broadcast
+  boundary — measured ~1.5× SpMV compute per iteration. The lazy
+  per-iteration checkpoint keeps burst-mode's job count at one
+  materializing job per iteration with zero recompute.)
+- `chain` now only sets the cadence of convergence CHECKS (the delta
+  join is a full extra pass; every 2 iterations is the measured
+  sweet spot), not the checkpoint cadence.
 - hub skew: AQE skew-join splits oversized src partitions; the groupBy
   is already map-side combined.
 """
@@ -162,8 +165,15 @@ def pagerank(
             burst = min(chain, iters - done)
             prev = ranks
             for _ in range(burst):
-                ranks = one_iter(ranks)
-            ranks = ranks.localCheckpoint(eager=True)  # one job per burst
+                # LAZY checkpoint after EVERY iteration: iteration t+1's
+                # dangling-mass broadcast job is the action that
+                # materializes iteration t's blocks, so each SpMV runs
+                # exactly ONCE. Round 5 checkpointed only at burst ends;
+                # inside a burst the broadcast subtree re-derived the
+                # previous iteration's ENTIRE gather-scatter (guide §2.4
+                # — ReuseExchange does not reach across the broadcast
+                # boundary), i.e. ~1.5 SpMVs of compute per iteration.
+                ranks = one_iter(ranks).localCheckpoint(eager=False)
             done += burst
             if fixed_iters is None:
                 delta = (
@@ -174,6 +184,10 @@ def pagerank(
                 # L1 movement across the whole burst below tol ⇒ converged
                 if delta is not None and delta < tol:
                     break
+        # materialize the tail of the lazy chain INSIDE the loop conf
+        # (fixed-iters mode otherwise defers every job to the caller's
+        # first action, outside the iterative session tuning)
+        ranks.count()
     return ranks.select("vid", "pr")
 
 
@@ -269,7 +283,10 @@ def personalized_pagerank(
         while done < fixed_iters:
             burst = min(chain, fixed_iters - done)
             for _ in range(burst):
-                ranks = one_iter(ranks)
-            ranks = ranks.localCheckpoint(eager=True)
+                # lazy per-iteration checkpoint — one SpMV per iteration,
+                # materialized by the next iteration's dangling broadcast
+                # (see `pagerank`)
+                ranks = one_iter(ranks).localCheckpoint(eager=False)
             done += burst
+        ranks.count()
     return ranks.select("vid", "pr")

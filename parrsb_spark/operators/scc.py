@@ -214,6 +214,15 @@ def strongly_connected_components(
                 )
                 if changed == 0:
                     break
+            else:
+                # unconverged colors would feed the backward sweep and
+                # silently split one SCC across labels/rounds (a plain
+                # directed cycle longer than max_iter hops) — fail loudly
+                # like the outer-round guard instead
+                raise RuntimeError(
+                    f"scc: forward coloring did not converge in {max_iter} "
+                    f"iterations ({changed} labels still moving); raise max_iter"
+                )
 
             # --- 3. backward multi-seed sweep from every root, same color only
             # the converged color table is joined once per backward hop;
@@ -345,6 +354,7 @@ def bowtie_classes(
         visited = seed
         frontier = seed
         it = 0
+        converged = False
         with iterative_conf(spark, disable_aqe=False):
             while it < max_iter:
                 nxt = (
@@ -355,10 +365,19 @@ def bowtie_classes(
                 )
                 nxt = hard_truncate(nxt)
                 if nxt.isEmpty():
+                    converged = True
                     break
                 visited = hard_truncate(visited.union(nxt))
                 frontier = nxt
                 it += 1
+        if not converged:
+            # a silently truncated reachability set misclassifies IN/OUT
+            # for paths longer than max_iter hops — same loud-failure
+            # contract as the SCC coloring guard above
+            raise RuntimeError(
+                f"bowtie: {'forward' if forward else 'backward'} reachability "
+                f"did not reach fixpoint in {max_iter} hops; raise max_iter"
+            )
         return visited
 
     fwd = reach_fixpoint(core, forward=True)  # core ∪ OUT

@@ -27,17 +27,38 @@ def _oriented(edges: DataFrame) -> DataFrame:
     corrupting the orientation order on a 10¹²-vertex graph. Primitive
     columns rather than a struct key: struct comparisons drop out of
     whole-stage codegen's primitive fast path (measured ~2× on the
-    copurchase bench graph)."""
-    sym = symmetrize(edges)
-    deg = degrees(edges)
-    e = (
-        sym.join(deg.select(F.col("vid").alias("src"), F.col("deg").alias("d_src")), "src")
-        .join(deg.select(F.col("vid").alias("dst"), F.col("deg").alias("d_dst")), "dst")
+    copurchase bench graph).
+
+    Shuffle shape (guide §2.3): round 5 built the symmetrized 2|E| edge
+    set TWICE (once here, once inside `degrees`) — two distinct
+    exchanges over 2|E| rows — then dropped half the rows with the
+    orientation filter. Here the graph is canonicalized ONCE to |E|
+    (least, greatest) rows (one half-width distinct; Catalyst reuses
+    the exchange for the degree subtree), degrees come from a map-side-
+    combined union aggregate over those rows, and the orientation is a
+    branch-free swap instead of a 50% filter over 2|E|."""
+    canon = (
+        edges.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
     )
-    lt = (F.col("d_src") < F.col("d_dst")) | (
-        (F.col("d_src") == F.col("d_dst")) & (F.col("src") < F.col("dst"))
+    deg = (
+        canon.select(F.col("a").alias("vid"))
+        .unionAll(canon.select(F.col("b").alias("vid")))
+        .groupBy("vid")
+        .agg(F.count("*").alias("deg"))
     )
-    return e.filter(lt).select("src", "dst", "d_dst")
+    e = canon.join(
+        deg.select(F.col("vid").alias("a"), F.col("deg").alias("da")), "a"
+    ).join(deg.select(F.col("vid").alias("b"), F.col("deg").alias("db")), "b")
+    fwd = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    return e.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("d_dst"),
+    )
 
 
 def triangle_list(edges: DataFrame) -> DataFrame:

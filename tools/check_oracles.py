@@ -42,6 +42,18 @@ def normalize(rows, cols):
     return hashlib.md5("\n".join(out).encode()).hexdigest()
 
 
+def normalize_strict(rows, cols):
+    """Driver-strict hash: raw repr(value) per cell, NO rounding, NO
+    Decimal/int/bool coercion — the round-5 graph_assortativity red row
+    (Spark Decimal vs DuckDB int, values bitwise identical) passed the
+    loose normalizer above and failed the driver; this mode surfaces
+    that whole class of engine-boundary TYPE asymmetries."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = ["|".join(repr(row[i]) for i in order) for row in rows]
+    out.sort()
+    return hashlib.md5("\n".join(out).encode()).hexdigest()
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -88,15 +100,19 @@ def main():
         h1 = normalize(rows, cols)
         h2 = normalize(orows, ocols)
         ok_hash = h1 == h2
+        ok_strict = normalize_strict(rows, cols) == normalize_strict(orows, ocols)
         status = "MATCH" if (ok_schema and ok_count and ok_hash) else "MISMATCH"
         schema_msg = "ok" if ok_schema else f"{sorted(cols)}|{sorted(ocols)}"
         hash_msg = "ok" if ok_hash else f"{h1[:8]}!={h2[:8]}"
         print(
             f"{name:28s} {status:9s} rows={len(rows)}/{len(orows)} "
-            f"schema={schema_msg} hash={hash_msg}  ({time.time()-t0:.1f}s)"
+            f"schema={schema_msg} hash={hash_msg} strict={'ok' if ok_strict else 'DIFF'}"
+            f"  ({time.time()-t0:.1f}s)"
         )
         if status != "MATCH":
             failures.append(name)
+        elif not ok_strict:
+            failures.append(name + ":strict")
     spark.stop()
     print("FAILURES:", failures if failures else "none")
     sys.exit(1 if failures else 0)
