@@ -83,7 +83,10 @@ def grouped_rank(
     # row-preserving and bit-deterministic by construction.
     from parrsb_spark.session import hard_truncate
 
-    numbered = hard_truncate(numbered)
+    # LAZY truncate: the offsets broadcast build below is the first
+    # action and materializes the pinned blocks — same shared-RDD
+    # determinism as the eager form, one fewer dedicated job per call
+    numbered = hard_truncate(numbered, eager=False)
     counts = numbered.groupBy("_pid", group_col).agg(F.max("_local").alias("_cnt"))
     w_off = Window.partitionBy(group_col).orderBy("_pid").rowsBetween(
         Window.unboundedPreceding, -1
@@ -122,7 +125,7 @@ def dense_ids_scalable(
     # pin the sampled range partitioning before the offsets join
     from parrsb_spark.session import hard_truncate
 
-    numbered = hard_truncate(numbered)
+    numbered = hard_truncate(numbered, eager=False)  # lazy — see grouped_rank
     # per-partition counts → prefix offsets (tiny: one row per partition)
     counts = numbered.groupBy("_pid").agg(F.max("_local").alias("_cnt"))
     w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)

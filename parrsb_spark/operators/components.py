@@ -44,7 +44,10 @@ def connected_components(
     movement ⇒ global fixpoint, since min-label updates are monotone)."""
     spark = edges.sparkSession
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    sym = symmetrize(edges).repartition(n_shuffle, "src").cache()
+    # sorted at cache time — per-round SMJ skips the |E| re-sort (see
+    # pagerank); broadcast-off in the loop stops the planner from
+    # re-broadcasting this cached table every round
+    sym = symmetrize(edges).repartition(n_shuffle, "src").sortWithinPartitions("src").cache()
     verts = (vertices or vertices_from_edges(edges)).select("vid")
     labels = verts.withColumn("comp", F.col("vid")).repartition(n_shuffle, "vid").cache()
     # measured-skew AQE gate (see session.iterative_conf): one degree
@@ -67,7 +70,7 @@ def connected_components(
         )
 
     done = 0
-    with iterative_conf(spark, disable_aqe=loop_no_aqe):
+    with iterative_conf(spark, disable_aqe=loop_no_aqe, no_auto_broadcast=True):
         while done < max_iter:
             prev = labels
             for _ in range(min(chain, max_iter - done)):

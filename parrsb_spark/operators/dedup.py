@@ -179,61 +179,96 @@ def minhash_lsh_pairs(
     pairs — the same block decomposition checks.mirror_pairs builds
     explicitly. The m² pairs themselves are the intended output of a
     near-dup cluster, not waste."""
-    # ONE cached per-doc shingle ARRAY feeds both the signature path and
-    # the exact verify path. Round-5 shape: exploded (doc_id, sh) rows —
-    # a full distinct exchange up front, a K-column hash aggregate for
-    # the signatures, and a two-join inverted index over the WHOLE
-    # exploded stream for the verify. Array shape: the shingle set, the
-    # K minima and the |A∩B| intersection are all per-row JVM
-    # expressions (guide §2.3/§2.4 — shuffle keys and metadata, not the
-    # payload stream), so the only exchanges left are the band-bucket
-    # equi-join and the candidate joins, and the verify ships ONLY
-    # candidate docs' arrays instead of the full inverted index.
-    sharr = shingle_arrays(docs, n).where(F.size("shs") > 0).cache()
-    # banded band keys, cached: the bucket self-join scans it twice and
-    # would otherwise recompute the md5-per-shingle signature pass per side
+    # Dedup-corpus structure is the whole point of this kernel: a
+    # near-dup-heavy corpus has MANY docs with the IDENTICAL shingle
+    # set (exact re-uploads, boilerplate). Signatures, band keys,
+    # bucket collisions and the exact Jaccard are all pure functions of
+    # the shingle SET, so the entire pipeline runs at the level of
+    # DISTINCT sets (keyed by a digest of the sorted set), and doc
+    # pairs are expanded back ONLY at the very end. A duplicate cluster
+    # of m docs costs m² rows once at output (those rows ARE the
+    # output) instead of bands·m² rows through the bucket join plus m²
+    # array intersections through the verify (guide §2.3: shuffle keys
+    # and metadata, move the heavy work once). Shapes on top of that:
+    # per-row array_distinct shingle sets (no distinct exchange),
+    # array_min signatures (no aggregate), in-row array_intersect
+    # verify on candidate set pairs only (round 5 ran an inverted-index
+    # join over the full exploded shingle stream).
+    # set digest: shingles are fixed-length (n chars), so the plain
+    # concat of the sorted set is prefix-unambiguous. ONE cached table
+    # carries (doc_id, dg, shs) — the digest map, the representative
+    # arrays and the signature pass all read it without recomputing the
+    # shingle transform.
+    sharr = (
+        shingle_arrays(docs, n)
+        .where(F.size("shs") > 0)
+        .withColumn("dg", F.md5(F.concat_ws("", F.array_sort("shs"))))
+        .cache()
+    )
+    dmap = sharr.select("doc_id", "dg")
+    # one representative array per distinct set (min doc_id — arrays
+    # are identical within a digest, the choice is cosmetic)
+    rep_arr = (
+        sharr.groupBy("dg")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .join(sharr.select("doc_id", "shs"), "doc_id")
+        .select("dg", "shs")
+        .cache()
+    )
     rows_per_band = k // bands
-    sig = _signatures_from_arrays(sharr, k)
+    sig = _signatures_from_arrays(rep_arr.withColumnRenamed("dg", "doc_id"), k)
     band_structs = []
     for bnd in range(bands):
         cols = [F.col(f"h{bnd * rows_per_band + r}") for r in range(rows_per_band)]
         bh = F.md5(F.concat_ws("_", F.lit(bnd), *[c.cast("string") for c in cols]))
         band_structs.append(F.struct(F.lit(bnd).alias("bnd"), bh.alias("bh")))
     banded = (
-        sig.select("doc_id", F.explode(F.array(*band_structs)).alias("b"))
-        .select("doc_id", F.col("b.bnd").alias("bnd"), F.col("b.bh").alias("bh"))
+        sig.select(F.col("doc_id").alias("dg"), F.explode(F.array(*band_structs)).alias("b"))
+        .select("dg", F.col("b.bnd").alias("bnd"), F.col("b.bh").alias("bh"))
         .cache()
     )
+    # digest-level candidates; d1 == d2 (two docs of one duplicate
+    # cluster) is a REAL candidate pair class and always verifies at
+    # jaccard 1.0
     cand = (
-        banded.select(F.col("doc_id").alias("a"), "bnd", "bh")
-        .join(banded.select(F.col("doc_id").alias("b"), "bnd", "bh"), ["bnd", "bh"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
+        banded.select(F.col("dg").alias("d1"), "bnd", "bh")
+        .join(banded.select(F.col("dg").alias("d2"), "bnd", "bh"), ["bnd", "bh"])
+        .filter(F.col("d1") <= F.col("d2"))
+        .select("d1", "d2")
         .distinct()
     )
-    # exact verify on candidates only: attach the two shingle arrays and
-    # intersect in-row (arrays are per-doc distinct, so
-    # size(array_intersect) IS the common count)
-    common = (
-        cand.join(sharr.select(F.col("doc_id").alias("a"), F.col("shs").alias("_sha")), "a")
-        .join(sharr.select(F.col("doc_id").alias("b"), F.col("shs").alias("_shb")), "b")
+    verified = (
+        cand.join(rep_arr.select(F.col("dg").alias("d1"), F.col("shs").alias("_sha")), "d1")
+        .join(rep_arr.select(F.col("dg").alias("d2"), F.col("shs").alias("_shb")), "d2")
         .select(
-            "a",
-            "b",
+            "d1",
+            "d2",
             F.size(F.array_intersect("_sha", "_shb")).alias("common"),
             F.size("_sha").alias("sza"),
             F.size("_shb").alias("szb"),
         )
-    )
-    return (
-        common.filter(F.col("common") > 0)  # inner-join parity of the
-        # round-5 inverted index: a candidate pair sharing no shingle
-        # never appeared there either (matters only at threshold ≤ 0)
+        .filter(F.col("common") > 0)  # inner-join parity of the round-5
+        # inverted index: a candidate pair sharing no shingle never
+        # appeared there either (matters only at threshold ≤ 0)
         .withColumn(
             "jaccard", F.col("common") / (F.col("sza") + F.col("szb") - F.col("common"))
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+        .select("d1", "d2", F.round("jaccard", 6).alias("jaccard"))
+    )
+    # expand back to doc pairs: a doc pair maps to exactly ONE
+    # (normalized) digest pair, so the expansion introduces no dups
+    return (
+        verified.join(dmap.select(F.col("dg").alias("d1"), F.col("doc_id").alias("_x")), "d1")
+        .join(dmap.select(F.col("dg").alias("d2"), F.col("doc_id").alias("_y")), "d2")
+        # same-digest pairs arise once per ordering of (_x, _y): keep one;
+        # cross-digest pairs arise exactly once already
+        .filter((F.col("d1") != F.col("d2")) | (F.col("_x") < F.col("_y")))
+        .select(
+            F.least("_x", "_y").alias("a"),
+            F.greatest("_x", "_y").alias("b"),
+            "jaccard",
+        )
     )
 
 

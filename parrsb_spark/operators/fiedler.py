@@ -214,6 +214,7 @@ def fiedler(
                 "src", "dst", F.lit(int(single_group)).cast("long").alias("grp")
             )
             .repartition(n_shuffle, "src")
+            .sortWithinPartitions("src")
             .cache()
         )
     else:
@@ -226,6 +227,7 @@ def fiedler(
             .filter(F.col("g1") == F.col("g2"))
             .select("src", "dst", F.col("g1").alias("grp"))
             .repartition(n_shuffle, "src")
+            .sortWithinPartitions("src")
             .cache()
         )
     deg = e.groupBy(F.col("src").alias("vid")).agg(F.count("*").alias("deg"))
@@ -346,14 +348,14 @@ def fiedler(
         # D9-D11: inverse power iteration with MG-preconditioned projected
         # CG (ref inverse(), src/fiedler.c:189-321; rsb_algo=1)
         _t0 = _time.monotonic()
-        with iterative_conf(spark, disable_aqe=loop_no_aqe):
+        with iterative_conf(spark, disable_aqe=loop_no_aqe, no_auto_broadcast=True):
             f_df = _inverse_driver(spark, e, base, sizes, opts, state0)
         _w_lanczos = _time.monotonic() - _t0
         _niter = opts.rsb_max_iter
     elif opts.rsb_algo == "lanczos":
         state = _fresh_state(state0)
         passes = max(1, opts.rsb_max_passes)
-        with iterative_conf(spark, disable_aqe=loop_no_aqe):
+        with iterative_conf(spark, disable_aqe=loop_no_aqe, no_auto_broadcast=True):
             for pss in range(passes):
                 _t0 = _time.monotonic()
                 state, alphas, betas, updates = _lanczos_pass(spmv_fn, state, sizes, opts)

@@ -79,7 +79,10 @@ def pagerank(
     ecols = ["src", "dst"] + (
         [F.col(weight_col).cast("long").alias("_w")] if weight_col else []
     )
-    e = edges.select(*ecols).repartition(n_shuffle, "src").cache()
+    # sorted at cache time: the per-iteration co-partitioned SMJ then
+    # reuses the cached ordering instead of re-sorting |E| rows per
+    # iteration (InMemoryRelation preserves child outputOrdering)
+    e = edges.select(*ecols).repartition(n_shuffle, "src").sortWithinPartitions("src").cache()
     verts = (vertices or vertices_from_edges(e)).select("vid")
     out_w = F.col("_w") if weight_col else F.lit(1)
     deg = (
@@ -160,7 +163,7 @@ def pagerank(
 
     iters = fixed_iters if fixed_iters is not None else max_iter
     done = 0
-    with iterative_conf(spark, disable_aqe=loop_no_aqe):
+    with iterative_conf(spark, disable_aqe=loop_no_aqe, no_auto_broadcast=True):
         while done < iters:
             burst = min(chain, iters - done)
             prev = ranks
@@ -219,7 +222,7 @@ def personalized_pagerank(
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
     d = damping
 
-    e = edges.select("src", "dst").repartition(n_shuffle, "src").cache()
+    e = edges.select("src", "dst").repartition(n_shuffle, "src").sortWithinPartitions("src").cache()
     verts = (vertices or vertices_from_edges(e)).select("vid")
     outdeg = e.groupBy(F.col("src").alias("vid")).agg(F.count("*").alias("outdeg"))
     n_seeds = seeds.select("vid").distinct().count()
@@ -279,7 +282,7 @@ def personalized_pagerank(
         )
 
     done = 0
-    with iterative_conf(spark, disable_aqe=True):
+    with iterative_conf(spark, disable_aqe=True, no_auto_broadcast=True):
         while done < fixed_iters:
             burst = min(chain, fixed_iters - done)
             for _ in range(burst):

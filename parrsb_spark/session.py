@@ -85,7 +85,9 @@ from contextlib import contextmanager
 
 
 @contextmanager
-def iterative_conf(spark: SparkSession, disable_aqe: bool = False):
+def iterative_conf(
+    spark: SparkSession, disable_aqe: bool = False, no_auto_broadcast: bool = False
+):
     """Tune the session for a driver-loop iterative kernel.
 
     AQE's post-shuffle partition coalescing targets bytes-per-partition,
@@ -122,6 +124,21 @@ def iterative_conf(spark: SparkSession, disable_aqe: bool = False):
     }
     if disable_aqe:
         keys["spark.sql.adaptive.enabled"] = "false"
+    if no_auto_broadcast:
+        # SpMV-loop kernels opt in (pagerank/CC/fiedler — measured):
+        # their per-iteration join pairs a CACHED edge table (accurate
+        # size stats) with a checkpointed state (unknown stats), so
+        # below the threshold the planner broadcasts the EDGE SIDE and
+        # rebuilds that broadcast EVERY iteration — a driver collect +
+        # hash-relation build per iteration for a loop-invariant table
+        # (broadcast-exchange reuse does not span queries). The
+        # co-partitioned sort-merge join the kernels lay out (edges
+        # hash-partitioned+sorted on the join key once, at cache time)
+        # is both the 100 TB plan and the faster local plan (measured:
+        # fiedler 25.5 → 21.8s, pagerank 7.2 → 6.1s, CC 5.6 → 4.6s warm
+        # at sf0.1). Explicit F.broadcast() hints (dangling mass, group
+        # scalars, split maps) are unaffected by the threshold.
+        keys["spark.sql.autoBroadcastJoinThreshold"] = "-1"
     old = {k: spark.conf.get(k, "true") for k in keys}
     for k, v in keys.items():
         spark.conf.set(k, v)
@@ -132,7 +149,7 @@ def iterative_conf(spark: SparkSession, disable_aqe: bool = False):
             spark.conf.set(k, v)
 
 
-def hard_truncate(df):
+def hard_truncate(df, eager: bool = True):
     """Materialize AND fully sever a DataFrame's logical plan.
 
     `localCheckpoint` keeps the original plan's STATISTICS on the new
@@ -162,14 +179,21 @@ def hard_truncate(df):
     keeps origin stats: loops that square the state should cap their
     iteration count under Connect (none of the built-in kernels hit
     this — Connect is not a supported deployment of the hot loops,
-    just a don't-crash path)."""
+    just a don't-crash path).
+
+    `eager=False` defers materialization to the FIRST consumer's action
+    (the checkpoint-marked RDD is created immediately, so every consumer
+    still reads the same physical blocks — the determinism guarantee is
+    identical); callers whose next step is itself an action (grouped_rank:
+    the offsets broadcast build) use it to fold the materialization job
+    into work they already pay for."""
     spark = df.sparkSession
     try:
         from pyspark.sql.classic.dataframe import DataFrame as _CDF
 
-        jdf = df._jdf.localCheckpoint(True)
+        jdf = df._jdf.localCheckpoint(bool(eager))
         jrdd = jdf.queryExecution().toRdd()
         jdf2 = spark._jsparkSession.internalCreateDataFrame(jrdd, jdf.schema(), False)
         return _CDF(jdf2, spark)
     except (ImportError, AttributeError):
-        return df.localCheckpoint(eager=True)
+        return df.localCheckpoint(eager=eager)
