@@ -77,6 +77,14 @@ class EngineOptions:
                                        # groups; above it, one broadcast-joined
                                        # scalars DF per update (plan size stays
                                        # flat at deep RSB cuts)
+    loop_rows_per_task: int = 65536    # target edge rows per task inside
+                                       # iterative loops (session.loop_partitions):
+                                       # loop parallelism = min(session shuffle
+                                       # partitions, ceil(edges / this)) — the
+                                       # session conf caps it, so a cluster-sized
+                                       # input is unaffected while a small one
+                                       # stops paying per-stage scheduling latency
+                                       # for sub-millisecond tasks (guide §2.2)
 
     def __post_init__(self) -> None:
         self._apply_env()

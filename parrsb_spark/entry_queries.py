@@ -427,9 +427,14 @@ def q_graph_mis(spark, sf_dir):
     rounds are no-ops)."""
     from parrsb_spark.operators.mis import mis
 
-    return mis(copurchase_edges(spark, sf_dir), max_rounds=MIS_ROUNDS).select(
-        "vid", "in_mis", "round"
-    )
+    # local_threshold arms the driver-local tail replay (bitwise the
+    # same rows — tests/test_mis_matching.py proves parity round by
+    # round): once the live edge set collapses under 100k rows the
+    # remaining near-empty rounds finish in one bounded collect instead
+    # of ~5 driver-latency jobs each (r5 VERDICT: 0.29 efficiency tail)
+    return mis(
+        copurchase_edges(spark, sf_dir), max_rounds=MIS_ROUNDS, local_threshold=100_000
+    ).select("vid", "in_mis", "round")
 
 
 def sql_graph_mis(rounds: int = MIS_ROUNDS) -> str:

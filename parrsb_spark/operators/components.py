@@ -55,9 +55,24 @@ def connected_components(
     # skew-join split is needed (hub past the salting threshold) or pure
     # per-iteration re-planning overhead (hub-free case)
     from parrsb_spark.config import default_options as _dflt
+    from parrsb_spark.session import loop_partitions
 
-    mx = sym.groupBy("src").agg(F.count("*").alias("d")).agg(F.max("d")).collect()[0][0]
-    loop_no_aqe = (mx or 0) <= _dflt().salt_degree_threshold
+    prow = (
+        sym.groupBy("src")
+        .agg(F.count("*").alias("d"))
+        .agg(F.max("d").alias("mx"), F.sum("d").alias("ne"))
+        .collect()[0]
+    )
+    loop_no_aqe = (prow["mx"] or 0) <= _dflt().salt_degree_threshold
+    # scale-adaptive loop parallelism (session.loop_partitions): re-key
+    # the cached edge side so the per-round join stays exchange-free;
+    # no-op when the derived count equals the session conf
+    n_loop = loop_partitions(int(prow["ne"] or 0), n_shuffle)
+    if n_loop != n_shuffle:
+        sym2 = sym.repartition(n_loop, "src").sortWithinPartitions("src").cache()
+        sym2.count()
+        sym.unpersist()
+        sym = sym2
 
     def one_round(lbl: DataFrame) -> DataFrame:
         nbr_min = (
@@ -70,7 +85,12 @@ def connected_components(
         )
 
     done = 0
-    with iterative_conf(spark, disable_aqe=loop_no_aqe, no_auto_broadcast=True):
+    with iterative_conf(
+        spark,
+        disable_aqe=loop_no_aqe,
+        no_auto_broadcast=True,
+        shuffle_partitions=n_loop,
+    ):
         while done < max_iter:
             prev = labels
             for _ in range(min(chain, max_iter - done)):

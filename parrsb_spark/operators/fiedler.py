@@ -239,7 +239,7 @@ def fiedler(
         .cache()
     )
     grp_stats = base.groupBy("grp").agg(
-        F.count("*").alias("n"), F.max("deg").alias("mx")
+        F.count("*").alias("n"), F.max("deg").alias("mx"), F.sum("deg").alias("se")
     ).collect()
     sizes = {r["grp"]: r["n"] for r in grp_stats}
     # measured-skew gate for loop AQE (see session.iterative_conf): on a
@@ -248,6 +248,21 @@ def fiedler(
     # hub past the salting threshold its skew-join split earns its keep
     max_deg = max((float(r["mx"] or 0.0) for r in grp_stats), default=0.0)
     loop_no_aqe = max_deg <= opts.salt_degree_threshold
+    # scale-adaptive Lanczos parallelism (session.loop_partitions): Σdeg
+    # over groups = |e| rows, collected by the same aggregate; re-key the
+    # cached edge side so the per-iteration join stays exchange-free.
+    # No-op (n_loop == n_shuffle) on any cluster-sized input.
+    from parrsb_spark.session import loop_partitions
+
+    n_edge_rows = sum(int(r["se"] or 0) for r in grp_stats)
+    n_loop = loop_partitions(n_edge_rows, n_shuffle)
+    if n_loop != n_shuffle and opts.spmv_impl == "join":
+        e2 = (
+            e.repartition(n_loop, "src").sortWithinPartitions("src").cache()
+        )
+        e2.count()  # materialize from the n_shuffle cache, then free it
+        e.unpersist()
+        e = e2
 
     # physical SpMV strategy (all three cross-validated by tests/test_spectral.py):
     #   join      — e ⋈ state + map-side-combined groupBy (default; the
@@ -337,7 +352,10 @@ def fiedler(
     # to hash(vid) with in-partition vid order makes the whole solve —
     # and therefore a resumed RSB run — replay bit-identically regardless
     # of what ran earlier in the session (tools/run_submit_smoke.sh).
-    state0 = state0.repartition(n_shuffle, "vid").sortWithinPartitions("vid")
+    loop_sp = n_loop if opts.spmv_impl == "join" else None
+    state0 = state0.repartition(
+        n_loop if opts.spmv_impl == "join" else n_shuffle, "vid"
+    ).sortWithinPartitions("vid")
     f_df = None
     if lineage is not None:
         lineage.phase_mark("fiedler", "fiedler_setup", level, _time.monotonic() - _t_setup)
@@ -348,14 +366,24 @@ def fiedler(
         # D9-D11: inverse power iteration with MG-preconditioned projected
         # CG (ref inverse(), src/fiedler.c:189-321; rsb_algo=1)
         _t0 = _time.monotonic()
-        with iterative_conf(spark, disable_aqe=loop_no_aqe, no_auto_broadcast=True):
+        with iterative_conf(
+            spark,
+            disable_aqe=loop_no_aqe,
+            no_auto_broadcast=True,
+            shuffle_partitions=loop_sp,
+        ):
             f_df = _inverse_driver(spark, e, base, sizes, opts, state0)
         _w_lanczos = _time.monotonic() - _t0
         _niter = opts.rsb_max_iter
     elif opts.rsb_algo == "lanczos":
         state = _fresh_state(state0)
         passes = max(1, opts.rsb_max_passes)
-        with iterative_conf(spark, disable_aqe=loop_no_aqe, no_auto_broadcast=True):
+        with iterative_conf(
+            spark,
+            disable_aqe=loop_no_aqe,
+            no_auto_broadcast=True,
+            shuffle_partitions=loop_sp,
+        ):
             for pss in range(passes):
                 _t0 = _time.monotonic()
                 state, alphas, betas, updates = _lanczos_pass(spmv_fn, state, sizes, opts)

@@ -61,6 +61,7 @@ def mis(
     edges: DataFrame,
     max_rounds: int = 16,
     priority_col: Column | None = None,
+    local_threshold: int = 0,
 ) -> DataFrame:
     """Returns (vid, in_mis, round) over every vertex of the
     symmetrized graph: in_mis = 1 for set members, 0 for excluded
@@ -68,7 +69,17 @@ def mis(
     (never happens once max_rounds ≥ the fixture's convergence round;
     converged rounds are no-ops, so the fixed point equals running
     exactly `max_rounds` rounds — the unrolled-oracle contract).
-    `round` is the round the vertex was decided (-1 if undecided)."""
+    `round` is the round the vertex was decided (-1 if undecided).
+
+    `local_threshold` > 0 arms the tail escape (the scc `_tarjan_local`
+    pattern): once the LIVE edge set has at most that many rows, the
+    residue is collected and the remaining rounds replay driver-side
+    with the identical (p, vid) total order — bitwise the same rows,
+    including round numbers. Measured motivation (VERDICT r5): after
+    the live set collapses, the distributed tail is ~6 near-empty
+    rounds of pure driver latency (~5 jobs each, 0.29 below-knee
+    efficiency); the bounded collect ends them at one job. 0 (default)
+    = never collect; pure distributed rounds."""
     spark = edges.sparkSession
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
     sym = symmetrize(edges)
@@ -90,6 +101,22 @@ def mis(
     with iterative_conf(spark):
         for r in range(1, max_rounds + 1):
             if und.isEmpty():
+                break
+            if local_threshold and alive.count() <= local_threshold:
+                batch_rows, left_rows = _mis_local(
+                    [(x["vid"], x["p"]) for x in und.collect()],
+                    [(x["src"], x["dst"]) for x in alive.collect()],
+                    first_round=r,
+                    max_rounds=max_rounds,
+                )
+                if batch_rows:
+                    tail = spark.createDataFrame(
+                        batch_rows, schema="vid long, in_mis int, round int"
+                    )
+                    decided = tail if decided is None else decided.unionAll(tail)
+                und = spark.createDataFrame(
+                    left_rows, schema="vid long, p bigint"
+                ) if left_rows else und.limit(0)
                 break
             # strict local minimum of struct(p, vid) wins; vertices with
             # no undecided neighbour win unconditionally (mn is null)
@@ -136,3 +163,44 @@ def mis(
     )
     out = leftover if decided is None else decided.unionAll(leftover)
     return out.select("vid", "in_mis", "round")
+
+
+def _mis_local(
+    und_rows: list[tuple[int, int]],
+    alive_rows: list[tuple[int, int]],
+    first_round: int,
+    max_rounds: int,
+) -> tuple[list[tuple[int, int, int]], list[tuple[int, int]]]:
+    """Driver-side replay of the distributed round recurrence over a
+    bounded residue — the exact same rule ((p, vid) strict local
+    minimum wins, undecided neighbours of winners are excluded), so
+    the emitted (vid, in_mis, round) rows are bitwise identical to
+    what the distributed rounds would produce, round numbers included.
+    Returns (decided rows, still-undecided (vid, p) rows)."""
+    p_of = dict(und_rows)
+    nbrs: dict[int, set[int]] = {v: set() for v in p_of}
+    for s, d in alive_rows:
+        if s in nbrs and d in p_of:
+            nbrs[s].add(d)
+    out: list[tuple[int, int, int]] = []
+    for r in range(first_round, max_rounds + 1):
+        if not p_of:
+            break
+        winners = [
+            v
+            for v in p_of
+            if all((p_of[v], v) < (p_of[u], u) for u in nbrs[v] if u in p_of)
+        ]
+        excluded = set()
+        for v in winners:
+            excluded.update(u for u in nbrs[v] if u in p_of)
+        excluded.difference_update(winners)
+        for v in winners:
+            out.append((v, 1, r))
+        for v in sorted(excluded):
+            out.append((v, 0, r))
+        for v in winners:
+            del p_of[v]
+        for v in excluded:
+            del p_of[v]
+    return out, sorted(p_of.items())

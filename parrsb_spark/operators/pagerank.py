@@ -102,12 +102,18 @@ def pagerank(
         .cache()
     )
     srow = state.agg(
-        F.count("*").alias("n"), F.max("outdeg").alias("mx"), F.max("indeg").alias("mi")
+        F.count("*").alias("n"),
+        F.max("outdeg").alias("mx"),
+        F.max("indeg").alias("mi"),
+        # |E| rides the same setup aggregate (indeg sums 1 per edge row
+        # even in weighted mode) — feeds the loop-parallelism derivation
+        F.sum("indeg").alias("ne"),
     ).collect()[0]
     n = srow["n"]
     if n == 0:
         return state.select("vid", F.lit(0.0).alias("pr"))
     from parrsb_spark.config import default_options as _dflt
+    from parrsb_spark.session import loop_partitions
 
     thr = (opts or _dflt()).salt_degree_threshold
     # max IN-degree is the reduce-funnel concentration salting exists for
@@ -117,6 +123,16 @@ def pagerank(
     # for; below the salting threshold, loop AQE is pure re-planning
     # overhead. One agg, folded into the row count the setup already paid.
     loop_no_aqe = float(srow["mx"] or 0) <= thr
+    # scale-adaptive loop parallelism (guide §2.2 — see
+    # session.loop_partitions): re-key the cached edge side to it so the
+    # per-iteration join stays exchange-free; a no-op when the derived
+    # count equals the session conf (any cluster-sized input)
+    n_loop = loop_partitions(int(srow["ne"] or 0), n_shuffle)
+    if n_loop != n_shuffle:
+        e2 = e.repartition(n_loop, "src").sortWithinPartitions("src").cache()
+        e2.count()  # materialize from the n_shuffle cache, then free it
+        e.unpersist()
+        e = e2
 
     ranks = state.select("vid", "outdeg").withColumn("pr", F.lit(1.0 / n))
 
@@ -163,7 +179,12 @@ def pagerank(
 
     iters = fixed_iters if fixed_iters is not None else max_iter
     done = 0
-    with iterative_conf(spark, disable_aqe=loop_no_aqe, no_auto_broadcast=True):
+    with iterative_conf(
+        spark,
+        disable_aqe=loop_no_aqe,
+        no_auto_broadcast=True,
+        shuffle_partitions=n_loop,
+    ):
         while done < iters:
             burst = min(chain, iters - done)
             prev = ranks

@@ -125,3 +125,43 @@ def test_layout_independence(spark):
 def test_matching_empty_graph(spark):
     e = spark.createDataFrame([], "src long, dst long")
     assert maximal_matching(e).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# driver-local tail replay (local_threshold): bitwise parity with the
+# distributed rounds, round numbers included
+
+
+@pytest.mark.parametrize("name,edges", FIXTURES)
+def test_mis_local_tail_bitwise_parity(spark, name, edges):
+    e = spark.createDataFrame(edges, "src long, dst long")
+    dist = {tuple(r) for r in mis(e).collect()}
+    # threshold above every fixture's edge count -> escape fires at
+    # round 1 and the WHOLE run replays driver-side
+    local = {tuple(r) for r in mis(e, local_threshold=10**9).collect()}
+    assert dist == local
+
+
+def test_mis_local_tail_mid_run_parity(spark):
+    # a graph engineered to leave a multi-round tail: a long path (many
+    # rounds) hanging off a clique (decided early). The threshold is
+    # sized so the first distributed round runs, THEN the escape fires
+    # mid-run and must continue with the correct round numbers.
+    path = [(100 + i, 101 + i) for i in range(24)]
+    clique = [(a, b) for a in range(1, 7) for b in range(a + 1, 7)]
+    bridge = [(6, 100)]
+    e = spark.createDataFrame(path + clique + bridge, "src long, dst long")
+    dist = {tuple(r) for r in mis(e).collect()}
+    for thr in (4, 20, 60):
+        local = {tuple(r) for r in mis(e, local_threshold=thr).collect()}
+        assert dist == local, thr
+
+
+def test_mis_local_tail_respects_round_cap(spark):
+    # max_rounds too small to finish: the replay must stop at the cap
+    # and report the same undecided set as the distributed run
+    path = [(i, i + 1) for i in range(40)]
+    e = spark.createDataFrame(path, "src long, dst long")
+    dist = {tuple(r) for r in mis(e, max_rounds=2).collect()}
+    local = {tuple(r) for r in mis(e, max_rounds=2, local_threshold=10**9).collect()}
+    assert dist == local
