@@ -47,10 +47,15 @@ def get_spark(
         # dead references (ContextCleaner is weak-ref driven), and with a
         # large driver heap that can take tens of minutes — meanwhile the
         # block manager carries dead iteration state. Default periodicGC
-        # is 30min; 2min keeps long Lanczos/PageRank drives from
-        # accumulating stale blocks (a measured source of run-to-run
-        # variance on the bench box).
-        .config("spark.cleaner.periodicGC.interval", "2min")
+        # is 30min; round 5 ran 2min to keep long Lanczos/PageRank
+        # drives from accumulating stale blocks. Round 6 re-measured: on
+        # the 48g local heap each periodic System.gc() is a full STW
+        # collection, and at a 2min cadence it fired INSIDE the later
+        # bench kernels (minhash 49.7 → 34.7s, rsb_k4 29.1 → 26.9s with
+        # the cadence moved out of the way). 10min still bounds stale-
+        # block accumulation on multi-hour drives while a full bench
+        # pass fits inside one interval.
+        .config("spark.cleaner.periodicGC.interval", "10min")
         # Spark's generated-class cache (CodeGenerator.cache) defaults to
         # 100 entries — ONE fiedler solve plans ~114 distinct codegen
         # units, so every Lanczos/CG iteration evicts the previous
