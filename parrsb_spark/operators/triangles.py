@@ -42,9 +42,11 @@ def _oriented(edges: DataFrame) -> DataFrame:
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
+    # ONE pass over canon (explode of a 2-array), not a 2-branch union —
+    # each union branch replans the whole canon subtree (scan + self-join
+    # + distinct) and runtime exchange reuse is best-effort
     deg = (
-        canon.select(F.col("a").alias("vid"))
-        .unionAll(canon.select(F.col("b").alias("vid")))
+        canon.select(F.explode(F.array("a", "b")).alias("vid"))
         .groupBy("vid")
         .agg(F.count("*").alias("deg"))
     )

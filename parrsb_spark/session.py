@@ -174,14 +174,26 @@ def iterative_conf(
         # at sf0.1). Explicit F.broadcast() hints (dangling mass, group
         # scalars, split maps) are unaffected by the threshold.
         keys["spark.sql.autoBroadcastJoinThreshold"] = "-1"
-    old = {k: spark.conf.get(k, "true") for k in keys}
+    # capture the EFFECTIVE value (conf.get with a fallback returns the
+    # fallback whenever the key is merely unset — restoring a "true"
+    # fallback into a bytes-typed conf like autoBroadcastJoinThreshold
+    # poisons the session; caught by tools/run_submit_smoke.sh)
+    old: dict[str, str | None] = {}
+    for k in keys:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
     for k, v in keys.items():
         spark.conf.set(k, v)
     try:
         yield
     finally:
         for k, v in old.items():
-            spark.conf.set(k, v)
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 
 def hard_truncate(df, eager: bool = True):

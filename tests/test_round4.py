@@ -296,5 +296,8 @@ def test_get_spark_sets_measured_engine_confs(spark):
     on as the skew-split backstop. A silent revert of any of these
     would not fail a correctness test — only this contract."""
     assert int(spark.conf.get("spark.sql.codegen.cache.maxEntries")) >= 4096
-    assert spark.conf.get("spark.cleaner.periodicGC.interval") == "2min"
+    # r6 re-measure: the 2min cadence fired a full STW System.gc() of the
+    # 48g heap INSIDE the later bench kernels (minhash 49.7->34.7s with it
+    # moved aside); 10min still bounds stale-block growth on long drives
+    assert spark.conf.get("spark.cleaner.periodicGC.interval") == "10min"
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
