@@ -83,7 +83,6 @@ def pagerank(
     # reuses the cached ordering instead of re-sorting |E| rows per
     # iteration (InMemoryRelation preserves child outputOrdering)
     e = edges.select(*ecols).repartition(n_shuffle, "src").sortWithinPartitions("src").cache()
-    verts = (vertices or vertices_from_edges(e)).select("vid")
     out_w = F.col("_w") if weight_col else F.lit(1)
     deg = (
         e.select(F.col("src").alias("vid"), out_w.alias("_o"), F.lit(0).alias("_i"))
@@ -91,16 +90,23 @@ def pagerank(
         .groupBy("vid")
         .agg(F.sum("_o").alias("outdeg"), F.sum("_i").alias("indeg"))
     )
-    state = (
-        verts.join(deg, "vid", "left")
-        .select(
-            "vid",
-            F.coalesce("outdeg", F.lit(0)).alias("outdeg"),
-            F.coalesce("indeg", F.lit(0)).alias("indeg"),
+    if vertices is None:
+        # the degree aggregate's key set IS the endpoint vertex set —
+        # deriving vertices separately would pay a second full 2|E|
+        # distinct exchange for the identical rows (guide §2.4)
+        state = deg.repartition(n_shuffle, "vid").cache()
+    else:
+        state = (
+            vertices.select("vid")
+            .join(deg, "vid", "left")
+            .select(
+                "vid",
+                F.coalesce("outdeg", F.lit(0)).alias("outdeg"),
+                F.coalesce("indeg", F.lit(0)).alias("indeg"),
+            )
+            .repartition(n_shuffle, "vid")
+            .cache()
         )
-        .repartition(n_shuffle, "vid")
-        .cache()
-    )
     srow = state.agg(
         F.count("*").alias("n"),
         F.max("outdeg").alias("mx"),
@@ -244,13 +250,27 @@ def personalized_pagerank(
     d = damping
 
     e = edges.select("src", "dst").repartition(n_shuffle, "src").sortWithinPartitions("src").cache()
-    verts = (vertices or vertices_from_edges(e)).select("vid")
-    outdeg = e.groupBy(F.col("src").alias("vid")).agg(F.count("*").alias("outdeg"))
+    if vertices is None:
+        # one union aggregate yields the vertex set AND outdeg together —
+        # no separate 2|E| vertex distinct (see pagerank)
+        verts_deg = (
+            e.select(F.col("src").alias("vid"), F.lit(1).alias("_o"))
+            .unionAll(e.select(F.col("dst").alias("vid"), F.lit(0).alias("_o")))
+            .groupBy("vid")
+            .agg(F.sum("_o").alias("outdeg"))
+        )
+    else:
+        outdeg = e.groupBy(F.col("src").alias("vid")).agg(F.count("*").alias("outdeg"))
+        verts_deg = (
+            vertices.select("vid")
+            .join(outdeg, "vid", "left")
+            .select("vid", F.coalesce("outdeg", F.lit(0)).alias("outdeg"))
+        )
     n_seeds = seeds.select("vid").distinct().count()
     if n_seeds == 0:
-        return verts.select("vid", F.lit(0.0).alias("pr"))
+        return verts_deg.select("vid", F.lit(0.0).alias("pr"))
     state = (
-        verts.join(outdeg, "vid", "left")
+        verts_deg
         .join(
             F.broadcast(seeds.select("vid").distinct().withColumn("_s", F.lit(1))),
             "vid",

@@ -182,3 +182,31 @@ def test_edge_bc_layout_independence_bitwise(spark):
     a = {tuple(r) for r in edge_betweenness(base, srcs).collect()}
     b = {tuple(r) for r in edge_betweenness(base.repartition(5, "dst"), srcs).collect()}
     assert a == b
+
+
+def test_star_hub_two_level_fold(spark, monkeypatch):
+    """r6 VERDICT #4: the backward fold's per-(s, u) successor array is
+    capped in code. Force the two-level path with a tiny FOLD_CAP on a
+    star hub (hub out-degree far above the cap) and check it against
+    the flat fold's values (allclose — the two-level association is a
+    different, equally valid float grouping) and against itself under a
+    different input layout (bitwise — determinism is unconditional)."""
+    import parrsb_spark.operators.betweenness as B
+
+    n_leaves = 40
+    star = [(0, i) for i in range(1, n_leaves + 1)]
+    # a tail behind the hub so the hub sits MID-DAG with delta > 0
+    tail = [(n_leaves + 1, 0)]
+    df = spark.createDataFrame(star + tail, "src long, dst long")
+    srcs = spark.createDataFrame([(n_leaves + 1,), (0,)], "vid long")
+    flat = {r["vid"]: r["bc"] for r in B.betweenness(df, srcs).collect()}
+    monkeypatch.setattr(B, "FOLD_CAP", 8)
+    capped = {r["vid"]: r["bc"] for r in B.betweenness(df, srcs).collect()}
+    capped2 = {
+        r["vid"]: r["bc"]
+        for r in B.betweenness(df.repartition(7, "dst"), srcs).collect()
+    }
+    assert capped == capped2  # bitwise deterministic under the cap
+    assert flat.keys() == capped.keys()
+    for v in flat:
+        assert abs(flat[v] - capped[v]) <= 1e-9 * max(1.0, abs(flat[v])), v
